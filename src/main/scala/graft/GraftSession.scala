@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * - `shuffle.partitions` sized to the core count (not the 200
+  *   default) — right for local[32]; on a cluster this is overridden
+  *   by AQE coalescing anyway.
+  * - AQE on: runtime re-planning (skew-join splitting, partition
+  *   coalescing, broadcast-join demotion/promotion) is the main
+  *   defence when the same plans run at 1000× the data.
+  * - `nanosAsLong`: the driver testdata's `events.ts` is parquet
+  *   TIMESTAMP(NANOS), which Spark's vectorized reader rejects by
+  *   default; this reads it as a long (nanos since epoch) that the
+  *   engine converts explicitly.
+  */
+object GraftSession {
+  def apply(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
+            appName: String = "graft"): SparkSession = configure(
+    SparkSession.builder().master(master).appName(appName)).getOrCreate()
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions",
+      Runtime.getRuntime.availableProcessors.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+}

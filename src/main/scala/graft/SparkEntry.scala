@@ -1,13 +1,708 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Text, Vectors}
+import graft.operators._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data extensions), each with a DuckDB
+  * oracle where SQL-expressible.
+  *
+  * Oracle-parity conventions used throughout (see
+  * [[graft.operators.Exact]]): double SUM/AVG accumulate in decimal
+  * (summation-order independent), ratio/cosine columns that divide
+  * order-dependent sums are rounded to 6 dp on both sides, every query
+  * ends in a deterministic total ORDER BY, and result column names are
+  * aliased identically in the Spark plan and the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_a1_groupsum")(spark, "/root/testdata/sf0.001")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** events with (a) ts as epoch seconds (ts arrives as long nanos —
+    * see GraftSession nanosAsLong note) and (b) a null-bearing value
+    * column `v` (value, nulled for 'error' events) so the gap-filling
+    * operators have real gaps to fill. */
+  private def eventsPrep(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("s", expr("ts div 1000000000"))
+      .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")))
+
+  private val eventsPrepSql =
+    "SELECT event_id, user_id, event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS s, " +
+      "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events"
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1: parquet scan with filename glob (ref atenciones_urgencia.py:4-11)
+    "q_s1_scan_glob" -> ((s, dir) => {
+      s.read.option("pathGlobFilter", "lineitem*.parquet").parquet(dir)
+        .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // P1+P2: conjunctive filter (eq ∧ range ∧ IN) + projection
+    "q_p2_filter_project" -> ((s, dir) => {
+      Relational.filterProject(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R" && col("l_quantity") >= 30 &&
+          col("l_linestatus").isin("O", "F"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1: hash group-by with exact sums (TPC-H Q1 shape)
+    "q_a1_groupsum" -> ((s, dir) => {
+      Relational.groupAgg(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Seq(
+        count(lit(1)).as("n"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        Exact.davg(col("l_discount")).as("avg_disc")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A2/A3: exact per-group median
+    "q_a2_median" -> ((s, dir) => {
+      // medians rounded to 6 dp: even-count interpolation (a+(b-a)/2 vs
+      // (a+b)/2) can differ in the last ulp between engines.
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(median(col("l_quantity")), 6).as("med_qty"),
+          round(median(col("l_extendedprice")), 6).as("med_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A4: null-count data-quality metric
+    "q_a4_nullcount" -> ((s, dir) => {
+      eventsPrep(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          round((count(lit(1)) - count(col("v"))).cast("double") / count(lit(1)), 6).as("null_ratio"))
+        .orderBy("event_type")
+    }),
+
+    // A5: distinct projection
+    "q_a5_distinct" -> ((s, dir) => {
+      Relational.distinctOn(t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    // A5b: count-distinct aggregates
+    "q_a5_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A7: per-group OLS (closed-form, aggregate-only) predicting 2026
+    "q_a7_ols" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      Regression.olsPredict(joined, Seq("c_nationkey"), col("yr"), col("o_totalprice"), atX = 2026)
+        .orderBy("c_nationkey")
+    }),
+
+    // J1: chained left equi-joins (broadcast dims)
+    "q_j1_join3" -> ((s, dir) => {
+      Relational.leftJoinChain(t(s, dir, "customer"), Seq(
+        (broadcast(t(s, dir, "nation")
+          .withColumnRenamed("n_nationkey", "c_nationkey")), Seq("c_nationkey"))))
+        .join(broadcast(t(s, dir, "region"))
+          .withColumnRenamed("r_regionkey", "n_regionkey"), Seq("n_regionkey"), "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J2: nearest-neighbor join (argmin over cross join, rank-1 window)
+    "q_j2_nearest" -> ((s, dir) => {
+      Nearest.nearestJoin(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        t(s, dir, "supplier").select("s_suppkey", "s_acctbal"),
+        dist = abs(col("c_acctbal") - col("s_acctbal")),
+        leftKey = Seq("c_custkey"), tieBreak = Seq(col("s_suppkey")))
+        .select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
+        .orderBy("c_custkey")
+    }),
+
+    // J3+A6: gravity flows + row-stochastic window normalization
+    "q_j3_gravity" -> ((s, dir) => {
+      val zones = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey").as("zone")).agg(count(lit(1)).as("mass"))
+      Nearest.gravityFlows(zones, "zone", "mass",
+        (o, d) => abs(o - d).cast("double"))
+        .orderBy("origin", "dest")
+    }),
+
+    // W1: per-group linear interpolation of nulls (pandas semantics)
+    "q_w1_interp" -> ((s, dir) => {
+      Windows.interpolateLinear(
+        eventsPrep(s, dir).select("user_id", "event_id", "s", "v"),
+        partition = Seq("user_id"), order = Seq(col("s"), col("event_id")), valueCol = "v")
+        .select("user_id", "event_id", "v_filled")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W2: seasonal fill (fine bucket → coarse bucket → overall medians)
+    "q_w2_seasonal" -> ((s, dir) => {
+      Windows.seasonalFill(
+        eventsPrep(s, dir).select("user_id", "event_id", "s", "v"),
+        group = "user_id",
+        fineBucket = expr("(s div 3600) % 24"),
+        coarseBucket = expr("(s div 86400) % 7"),
+        valueCol = "v")
+        .select("user_id", "event_id", "v_filled")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W3: per-group KNN imputation (typed flatMapGroups) — no SQL oracle
+    "q_w3_knn_impute" -> ((s, dir) => {
+      Impute.knnImpute(
+        eventsPrep(s, dir).withColumn("day", expr("s div 86400")),
+        groupCol = "day", idCol = "event_id",
+        featureCols = Seq("s"), valueCol = "v", k = 3)
+        .select("user_id", "event_id", "v_imputed")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // O1: top-k per group
+    "q_o1_topk" -> ((s, dir) => {
+      Relational.topKPerGroup(t(s, dir, "orders"),
+        partition = Seq("o_custkey"),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // U1: tagged union of three filtered branches + group
+    "q_u1_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val branches = Seq(
+        li.filter(col("l_quantity") >= 45).select(lit("hi").as("src"), col("l_quantity")),
+        li.filter(col("l_quantity") <= 5).select(lit("lo").as("src"), col("l_quantity")),
+        li.filter(col("l_returnflag") === "R").select(lit("ret").as("src"), col("l_quantity")))
+      Relational.unionByNameAll(branches)
+        .groupBy("src").agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("src")
+    }),
+
+    // R1: unpivot/melt wide measures → long, then aggregate
+    "q_r1_unpivot" -> ((s, dir) => {
+      Relational.unpivot(t(s, dir, "lineitem"),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        values = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        varName = "metric", valName = "val")
+        .groupBy("metric").agg(count(lit(1)).as("n"), Exact.dsum(col("val")).as("sum_val"))
+        .orderBy("metric")
+    }),
+
+    // R3: pivot long → wide (explicit value list, single pass)
+    "q_r3_pivot" -> ((s, dir) => {
+      Relational.pivotCount(t(s, dir, "events"), "user_id", "event_type",
+        values = Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")
+    }),
+
+    // Rollup (grouping-sets family)
+    "q_rollup" -> ((s, dir) => {
+      Relational.rollupCounts(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+        Exact.dsum(col("l_quantity")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // F-suite: scalar functions (string, date parts, date build, arithmetic)
+    "q_f_scalars" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lower(trim(col("o_orderpriority"))).as("prio"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"),
+        greatest(lit(0.0), col("o_totalprice") - 100000.0).as("over_100k"),
+        sqrt(col("o_totalprice")).as("sqrt_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F8/F10-kin: distance expressions (euclid + haversine on synthetic coords)
+    "q_f_distance" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        (col("c_custkey") % 89).cast("double").as("lat_a"),
+        (col("c_custkey") % 179).cast("double").as("lon_a"),
+        ((col("c_custkey") + 31) % 89).cast("double").as("lat_b"),
+        ((col("c_custkey") + 67) % 179).cast("double").as("lon_b"))
+      c.select(col("c_custkey"),
+        round(Geo.euclidDeg(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 6).as("euclid_deg"),
+        round(Geo.haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 6).as("hav_km"))
+        .orderBy("c_custkey")
+    }),
+
+    // F: regexp scalar extraction from a JSON-ish string column
+    "q_f_regexp" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // S7: nested-map flatten via from_json + explode
+    "q_s7_explode" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"), MapType(StringType, IntegerType))).as(Seq("key", "val")))
+        .orderBy("event_id")
+    }),
+
+    // Anti-join: customers with no orders
+    "q_j_anti" -> ((s, dir) => {
+      Relational.antiJoin(t(s, dir, "customer"),
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- training-data extensions -------------------------------------
+
+    // Dedup 1: exact (hash group-by on normalized content)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")
+    }),
+
+    // Dedup 2: n-gram (word-3-shingle) Jaccard via inverted-index join
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, threshold = 0.05)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup 3: MinHash+LSH with exact-Jaccard verification — no SQL oracle
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, numHashes = 16, bands = 8, threshold = 0.05)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup 4: SimHash Hamming-band near-dup — no SQL oracle
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", maxHamming = 7)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup 5: embedding cosine near-dup in LSH buckets — no SQL oracle
+    "q_dedup_embed" -> ((s, dir) => {
+      Dedup.embeddingNearDup(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", dim = 64, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Similarity 1: brute-force cosine top-k (exact baseline)
+    "q_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Similarity 2: LSH-bucketed ANN top-k (the scale path) — no SQL oracle
+    "q_sim_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+        dim = 64, k = 5, bits = 6, tables = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Text 1: token counts + quality features
+    "q_text_stats" -> ((s, dir) => {
+      Text.qualityFeatures(t(s, dir, "documents"), "text", stopwords = Seq("the", "a"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Text 2: content fingerprint (md5 of normalized text)
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Text 3: language-ID (n-gram profiles) + rolling fingerprint — no SQL oracle
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("predicted"),
+        Text.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload plumbing, metadata (oracle on byte_len)
+    "q_mm_meta" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .select("media_id", "byte_len")
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: full stubbed decode features — no SQL oracle
+    "q_mm_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .orderBy("media_id")
+    }),
+
+    // Streaming shape: event-time tumbling-window aggregate (batch-equiv)
+    "q_stream_window" -> ((s, dir) => {
+      StreamingOps.windowedAgg(t(s, dir, "events"))
+        .select(unix_timestamp(col("window_start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // Sessionization: gap-based sessions per user
+    "q_sessionize" -> ((s, dir) => {
+      Windows.sessionize(eventsPrep(s, dir), "user_id", col("s"), gapSeconds = 1800)
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Window analytics: rank / lag / lead / exact running sum
+    "q_w_analytics" -> ((s, dir) => {
+      Windows.analytics(t(s, dir, "lineitem"),
+        partition = Seq("l_suppkey"),
+        order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        measure = col("l_extendedprice"))
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          col("prev_val"), col("next_val"), col("running_sum"))
+        .orderBy("l_suppkey", "rn")
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def dsumSql(e: String) = Exact.sqlSum(e)
+  private def davgSql(e: String) = Exact.sqlAvg(e)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_glob" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem""".stripMargin,
+
+    "q_p2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_linestatus IN ('O','F')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_a1_groupsum" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  ${davgSql("l_discount")} AS avg_disc
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_a2_median" ->
+      """SELECT l_returnflag, ROUND(median(l_quantity), 6) AS med_qty,
+        |  ROUND(median(l_extendedprice), 6) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a4_nullcount" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+         |  ROUND(CAST(COUNT(*) - COUNT(v) AS DOUBLE) / COUNT(*), 6) AS null_ratio
+         |FROM ($eventsPrepSql) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_a5_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q_a5_count_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a7_ols" -> Regression.oracleSql(
+      "(SELECT c_nationkey, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey)",
+      Seq("c_nationkey"), "yr", "o_totalprice", atX = 2026),
+
+    "q_j1_join3" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j2_nearest" ->
+      """WITH x AS (
+        |  SELECT c_custkey, s_suppkey, abs(c_acctbal - s_acctbal) AS dist,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY abs(c_acctbal - s_acctbal), s_suppkey) AS rn
+        |  FROM customer CROSS JOIN supplier)
+        |SELECT c_custkey, s_suppkey AS nearest_supp, dist
+        |FROM x WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+    "q_j3_gravity" ->
+      """WITH z AS (
+        |  SELECT n_nationkey AS zone, CAST(COUNT(*) AS BIGINT) AS mass
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_nationkey),
+        |f AS (
+        |  SELECT o.zone AS origin, d.zone AS dest,
+        |    CAST(o.mass AS DOUBLE) * CAST(d.mass AS DOUBLE)
+        |      / (CAST(abs(o.zone - d.zone) AS DOUBLE) * CAST(abs(o.zone - d.zone) AS DOUBLE)) AS flow
+        |  FROM z o CROSS JOIN z d WHERE o.zone <> d.zone)
+        |SELECT origin, dest, flow,
+        |  ROUND(flow / SUM(flow) OVER (PARTITION BY origin), 6) AS flow_norm
+        |FROM f ORDER BY origin, dest""".stripMargin,
+
+    "q_w1_interp" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+         |  FROM ($eventsPrepSql)),
+         |anch AS (
+         |  SELECT user_id, event_id, v, rn,
+         |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY rn
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prn,
+         |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY rn
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY rn
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nrn,
+         |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY rn
+         |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+         |  FROM base)
+         |SELECT user_id, event_id,
+         |  COALESCE(v,
+         |    pv + (nv - pv) * CAST(rn - prn AS DOUBLE) / CAST(nrn - prn AS DOUBLE),
+         |    pv, nv) AS v_filled
+         |FROM anch ORDER BY user_id, event_id""".stripMargin,
+
+    "q_w2_seasonal" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, v, (s // 3600) % 24 AS fine, (s // 86400) % 7 AS coarse
+         |  FROM ($eventsPrepSql)),
+         |mf AS (SELECT user_id, fine, median(v) AS m_fine FROM base GROUP BY user_id, fine),
+         |mc AS (SELECT user_id, coarse, median(v) AS m_coarse FROM base GROUP BY user_id, coarse),
+         |ma AS (SELECT user_id, median(v) AS m_all FROM base GROUP BY user_id)
+         |SELECT b.user_id, b.event_id,
+         |  COALESCE(b.v, mf.m_fine, mc.m_coarse, ma.m_all) AS v_filled
+         |FROM base b
+         |LEFT JOIN mf ON b.user_id = mf.user_id AND b.fine = mf.fine
+         |LEFT JOIN mc ON b.user_id = mc.user_id AND b.coarse = mc.coarse
+         |LEFT JOIN ma ON b.user_id = ma.user_id
+         |ORDER BY b.user_id, b.event_id""".stripMargin,
+
+    "q_o1_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_u1_union" ->
+      s"""SELECT src, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM (
+         |  SELECT 'hi' AS src, l_quantity FROM lineitem WHERE l_quantity >= 45
+         |  UNION ALL
+         |  SELECT 'lo' AS src, l_quantity FROM lineitem WHERE l_quantity <= 5
+         |  UNION ALL
+         |  SELECT 'ret' AS src, l_quantity FROM lineitem WHERE l_returnflag = 'R')
+         |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q_r1_unpivot" ->
+      s"""SELECT metric, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("val")} AS sum_val
+         |FROM (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem)
+         |GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "q_r3_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("l_quantity")} AS m
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_f_scalars" ->
+      """SELECT o_orderkey, lower(trim(o_orderpriority)) AS prio,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_start,
+        |  greatest(0.0, o_totalprice - 100000.0) AS over_100k,
+        |  sqrt(o_totalprice) AS sqrt_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_f_distance" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 89 AS DOUBLE) AS lat_a,
+        |    CAST(c_custkey % 179 AS DOUBLE) AS lon_a,
+        |    CAST((c_custkey + 31) % 89 AS DOUBLE) AS lat_b,
+        |    CAST((c_custkey + 67) % 179 AS DOUBLE) AS lon_b
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  ROUND(sqrt(pow(lat_a - lat_b, 2) + pow(lon_a - lon_b, 2)), 6) AS euclid_deg,
+        |  ROUND(2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(lat_b - lat_a) / 2), 2) +
+        |    cos(radians(lat_a)) * cos(radians(lat_b)) *
+        |    pow(sin(radians(lon_b - lon_a) / 2), 2))), 6) AS hav_km
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "q_f_regexp" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_s7_explode" ->
+      """SELECT event_id, 'k' AS key,
+        |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
+        |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix),
+        |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz ca ON ca.doc_id = doc_a
+        |JOIN sz cb ON cb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 50),
+        |pairs AS (
+        |  SELECT q_id, c.vec_id AS n_id, qe, c.embedding AS ce
+        |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
+        |dims AS (
+        |  SELECT q_id, n_id,
+        |    CAST(qe[r.i] AS DOUBLE) * CAST(ce[r.i] AS DOUBLE) AS p,
+        |    CAST(qe[r.i] AS DOUBLE) * CAST(qe[r.i] AS DOUBLE) AS qa,
+        |    CAST(ce[r.i] AS DOUBLE) * CAST(ce[r.i] AS DOUBLE) AS ca
+        |  FROM pairs, range(1, 65) r(i)),
+        |cosd AS (
+        |  SELECT q_id, n_id,
+        |    ROUND(SUM(p) / (sqrt(SUM(qa)) * sqrt(SUM(ca))), 6) AS cos
+        |  FROM dims GROUP BY q_id, n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM cosd)
+        |SELECT q_id, n_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |    CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |    CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*) AS stopword_ratio
+        |  FROM t GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tokens, a.avg_token_len, a.stopword_ratio,
+        |  CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(d.text) AS DOUBLE) AS punct_ratio
+        |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_stream_window" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type, value FROM events)
+        |SELECT (s // 3600) * 3600 AS hour_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY (s // 3600) * 3600, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, s FROM ($eventsPrepSql)),
+         |l AS (
+         |  SELECT user_id, event_id, s,
+         |    CASE WHEN lag(s) OVER w IS NULL
+         |           OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         |m AS (
+         |  SELECT user_id,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM l)
+         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_w_analytics" ->
+      """SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber,
+        |  prev_val, next_val, running_sum
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    lag(l_extendedprice, 1) OVER w AS prev_val,
+        |    lead(l_extendedprice, 1) OVER w AS next_val,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
+        |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |ORDER BY l_suppkey, rn""".stripMargin)
 }

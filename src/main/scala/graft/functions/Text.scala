@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for training-data pipelines (beyond-reference
+  * surface, SURVEY.md §2.10/§7 step 8): tokenization, quality scoring,
+  * language ID, fingerprinting, shingling. All column expressions —
+  * codegen'd, no UDFs in the hot path — so they run at full scan speed
+  * over a 100 TB `documents` table.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or a
+    * single non-space symbol — a cheap proxy for subword tokenizers. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Deterministic content fingerprint for exact dedup: md5 of the
+    * case/whitespace-normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+
+  /** Rolling (polynomial) fingerprint over whitespace tokens:
+    * h ← (h·31 + xxhash64(token)) mod 2^57−13, folded left-to-right
+    * (ordered `aggregate` keeps it deterministic). The modulus keeps
+    * every intermediate < 2^63 so the expression is ANSI-overflow-safe. */
+  private val FpMod = (1L << 57) - 13
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+
+  /** Word w-shingles: ["a","b","c","d"], w=3 → ["a b c", "b c d"].
+    * Used by n-gram Jaccard and MinHash dedup. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
+      s => s.isNotNull && length(s) > 0)
+  }
+
+  /** Quality-score feature pack: per-document length, token stats,
+    * stopword ratio, punctuation ratio. Pure expressions. */
+  def qualityFeatures(df: DataFrame, textCol: String,
+                      stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, w => array_contains(stopArr, w))).cast("double")
+    val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok)
+      .withColumn("stopword_ratio", nStop / nTok)
+      .withColumn("punct_ratio", nPunct.cast("double") / length(t).cast("double"))
+  }
+
+  /** Language-ID by character-n-gram profile scoring: score(text, L) =
+    * Σ over text trigrams of weight(L, trigram); predicted language is
+    * the argmax with lexicographic tie-break. Profiles are tiny →
+    * broadcast as a literal map baked into the plan.
+    *
+    * The heuristic (stopword/character-trigram profiles) follows the
+    * classic Cavnar–Trenkle n-gram approach; profiles here are small
+    * built-ins, replaceable per-corpus.
+    */
+  val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", " to", "ing"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", " qu", "ue "),
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "sch", "ein", "ich", "en "),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  def langId(text: Column, profiles: Map[String, Seq[String]] = defaultProfiles): Column = {
+    // score = number of profile n-grams present (containment count);
+    // cheap, deterministic, and a pure expression tree.
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val score = grams.map(g => when(instr(text, g) > 0, 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // argmax: array_max on structs compares fields in order →
+    // (score, lang) lexicographic; ties resolve to the greatest lang.
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

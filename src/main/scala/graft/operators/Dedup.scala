@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (first-class
+  * beyond-reference surface). Five escalating strategies:
+  *
+  *  1. exact        — hash group-by on normalized content
+  *  2. n-gram Jaccard — shingle-set overlap via an inverted-index join
+  *  3. MinHash+LSH  — banded signatures bucket candidates, then exact
+  *                    Jaccard verification (no false positives kept)
+  *  4. SimHash      — 64-bit weighted fingerprint, Hamming-band join
+  *  5. embedding    — cosine near-dup inside LSH buckets
+  *
+  * Scale design: none of these ever enumerate all O(n²) pairs. Every
+  * near-dup variant goes shingle/band/bucket → equi-join → verify, so
+  * the shuffle key is the bucket id and work is proportional to true
+  * collisions. Skewed buckets (stop-shingles) are capped before the
+  * self-join.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one row per distinct content with
+    * the kept (min) id and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(Text.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-w-shingles per doc, exploded to an inverted-index
+    * shape (doc_id, shingle). `maxBucket` drops shingles appearing in
+    * more than that many docs — stop-shingles generate quadratic join
+    * fan-out and carry no discriminative signal. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int, maxBucket: Int): DataFrame = {
+    val idx = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(Text.shingles(col(textCol), w))).as("sh"))
+    if (maxBucket <= 0) idx
+    else {
+      val hot = idx.groupBy("sh").count().filter(col("count") > maxBucket).select("sh")
+      idx.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+  }
+
+  /** N-gram Jaccard near-dup pairs: J(A,B) = |A∩B| / |A∪B| ≥ threshold.
+    * Inverted-index self-join computes intersections only for pairs
+    * sharing ≥1 shingle. Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int, threshold: Double, maxBucket: Int = 0): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, w, maxBucket)
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = idx.toDF("doc_a", "sh")
+    val b = idx.toDF("doc_b", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature column: minhash_i(doc) = min over shingles of
+    * xxhash64(i, shingle). Probability the mins agree ≈ Jaccard. */
+  private def minhashSig(shingleArr: org.apache.spark.sql.Column, numHashes: Int) =
+    (0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }
+
+  /** MinHash+LSH near-dup: `numHashes` minhashes in `bands` bands; docs
+    * agreeing on any whole band become candidates; candidates are then
+    * verified with exact Jaccard ≥ threshold (so LSH only affects
+    * recall, never precision). Output: (doc_a, doc_b, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = docs.select(
+      col(idCol).as("doc"),
+      array(minhashSig(array_distinct(Text.shingles(col(textCol), w)), numHashes): _*).as("sig"))
+    // band key = (band index, hash of the band's slice of the signature)
+    val banded = sigs.select(
+      col("doc"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string")).as("bkey"))
+      }: _*)).as("bk"))
+    val cand = banded.select(col("doc").as("doc_a"), col("bk"))
+      .join(banded.select(col("doc").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates exactly
+    val withText = docs.select(col(idCol), col(textCol))
+    val verified = cand
+      .join(withText.toDF("doc_a", "text_a"), "doc_a")
+      .join(withText.toDF("doc_b", "text_b"), "doc_b")
+      .withColumn("sh_a", array_distinct(Text.shingles(col("text_a"), w)))
+      .withColumn("sh_b", array_distinct(Text.shingles(col("text_b"), w)))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    verified.select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
+    * take the sign vector. Near-dups = pairs within `maxHamming` bits,
+    * found by splitting the 64 bits into (maxHamming+1) bands — the
+    * pigeonhole guarantees matching pairs share an exact band. */
+  def simhash64(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
+    val bitSums = (0 until 64).map { bit =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, bit) =>
+      when(s > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sigs = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          col("sig").bitwiseAND(
+            lit(((1L << bandBits) - 1) << (b * bandBits))).as("bkey"))
+      }: _*)).as("bk"))
+    val popcnt = (x: org.apache.spark.sql.Column) => bit_count(x)
+    banded.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("bk"))
+      .join(banded.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        popcnt(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup inside hyperplane-LSH buckets: only
+    * vectors whose sign-signatures collide are compared. Exact cosine
+    * verification keeps precision at 1. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double,
+                       bits: Int = 8, tables: Int = 4): DataFrame = {
+    val bucketed = embs.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
+        .as(Seq("t", "b")))
+      .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
+    bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

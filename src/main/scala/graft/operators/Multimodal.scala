@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns plus a typed metadata struct, with decode / feature-extract
+  * running batched inside `mapPartitions`.
+  *
+  * The actual media decode is STUBBED (this container has no image /
+  * audio codecs): `decodeStub` derives deterministic fake features
+  * from the bytes. Everything Spark-side — the binary schema, the
+  * partition-wise batching, the output schema contract — is real, so
+  * swapping the stub for a JNI/ffmpeg/JPEG decoder changes one
+  * function. At scale: binary payloads stay columnar in parquet, the
+  * decode is embarrassingly parallel, and feature extraction happens
+  * before any shuffle so only small feature vectors move.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("byte_len", LongType))))))
+
+  /** Wrap a text table into the media shape (test stand-in for real
+    * blobs): payload = utf-8 bytes. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      struct(col(sourceCol).as("source"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("byte_len")).as("meta"))
+
+  /** STUB decoder: deterministic pseudo-features of a payload. A real
+    * implementation decodes pixels/samples here; the signature — bytes
+    * in, fixed-width feature row out — is what a codec integration
+    * must satisfy. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+    val len = payload.length
+    val checksum = payload.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) & 0x7fffffffL)
+    val width = 64 + (checksum % 577).toInt   // fake dimensions
+    val height = 64 + (checksum % 431).toInt
+    (width, height, len.toDouble / math.max(width * height, 1))
+  }
+
+  /** Partition-batched "decode": one pass per partition, no shuffle.
+    * Output: (media_id, byte_len, width, height, density). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("byte_len", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("density", DoubleType)))
+    implicit val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, d) = decodeStub(bytes)
+        Row(id, bytes.length.toLong, w, h, d)
+      }
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial-ish join kernels.
+  *
+  * J2 (ref `temperaturas_rm.py:121-147`): nearest-neighbor assignment —
+  * the reference materializes a full scipy `cdist` matrix and argmins
+  * rows; here it is a broadcast cross join + per-left-key `row_number`
+  * (rank-1), which Catalyst executes as BroadcastNestedLoopJoin with
+  * the small side broadcast — the big side streams, never shuffles.
+  *
+  * J3+A6 (ref nb c29-c32): gravity model flow matrix + row-stochastic
+  * normalization — the reference's O(n²) Python loop becomes a cross
+  * join producing the long/COO form (year, origin, dest, flow), and the
+  * normalization a window sum. Canonical storage stays long-form;
+  * pivot to a dense matrix only at presentation time.
+  *
+  * Scale path (SURVEY §7 risk 7): when the right side stops being
+  * broadcastable, swap the cross join for a grid-bucketed join (bin
+  * lat/lon to cells, equi-join on cell + 8 neighbors) behind the same
+  * signature; callers are unaffected.
+  */
+object Nearest {
+
+  /** For every left row, attach the right row minimizing `dist`, with
+    * `tieBreak` making the choice total. `left`/`right` must not share
+    * column names (prefix beforehand). Adds `_dist`.
+    *
+    * Implemented as `min(struct(dist, tieBreak…, payload))` — struct
+    * ordering is lexicographic, so the min IS the argmin — rather than
+    * a rank-1 window: the aggregate partial-combines map-side, so only
+    * one candidate row per left row reaches the shuffle instead of the
+    * whole |left|×|right| cross product. (`leftKey` is retained in the
+    * signature for the grid-bucketed swap-in; grouping is by all left
+    * columns.) */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  dist: Column, leftKey: Seq[String], tieBreak: Seq[Column]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val crossed = left.crossJoin(broadcast(right)).withColumn("_dist", dist)
+    val payload = struct(rightCols.map(col): _*).as("_r")
+    val best = crossed.groupBy(leftCols.map(col): _*)
+      .agg(min(struct(col("_dist") +: tieBreak :+ payload: _*)).as("_m"))
+    best.select(leftCols.map(col) ++
+      rightCols.map(c => col(s"_m._r.$c").as(c)) :+ col("_m._dist").as("_dist"): _*)
+  }
+
+  /** Gravity flows over a zone table `(zone, mass)`:
+    * flow(o,d) = mass_o · mass_d / dist(o,d)^2, diagonal excluded,
+    * plus the A6 row-normalization flow / Σ_d flow. `distExpr` sees
+    * columns `o_zone`/`d_zone`. Masses should be exact (integer /
+    * decimal) so each flow is a single deterministic double expression. */
+  def gravityFlows(zones: DataFrame, zoneCol: String, massCol: String,
+                   distExpr: (Column, Column) => Column): DataFrame = {
+    val o = zones.select(col(zoneCol).as("origin"), col(massCol).as("o_mass"))
+    val d = zones.select(col(zoneCol).as("dest"), col(massCol).as("d_mass"))
+    val dist = distExpr(col("origin"), col("dest"))
+    val flow = col("o_mass").cast("double") * col("d_mass").cast("double") /
+      (dist * dist)
+    val wRow = Window.partitionBy(col("origin"))
+    o.crossJoin(broadcast(d))
+      .filter(col("origin") =!= col("dest"))
+      .withColumn("flow", flow)
+      .withColumn("flow_norm",
+        round(col("flow") / sum(col("flow")).over(wRow), 6))
+      .select(col("origin"), col("dest"), col("flow"), col("flow_norm"))
+  }
+}

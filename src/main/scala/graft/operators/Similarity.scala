@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the query
+  * set against the corpus; exact, O(|Q|·N), right when |Q| is small or
+  * as the ground-truth oracle.
+  *
+  * Scale path: IVF-style bucketed search — corpus and queries are
+  * assigned to hyperplane-LSH buckets (multi-probe via several tables);
+  * the join key is the bucket id, so comparisons per query drop from N
+  * to the bucket occupancy. Bucket assignment is a pure expression
+  * (no trained model to ship); at 100 TB the corpus side is scanned
+  * once, shuffled once on bucket id.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query row. `queries`/`corpus` need
+    * (idCol, vecCol). Ranking uses a rounded cosine + id tie-break so
+    * results are totally ordered and oracle-stable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(Vectors.cosine(col("q_v"), col("n_v")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
+  /** Bucketed (IVF/LSH) ANN top-k: candidates = corpus vectors sharing
+    * any of `tables` hyperplane buckets with the query; exact cosine +
+    * top-k within candidates. Recall grows with `tables`, cost with
+    * bucket occupancy (≈ N / 2^bits per table). */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, dim: Int, k: Int,
+                   bits: Int = 6, tables: Int = 4): DataFrame = {
+    def bucketize(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v),
+        posexplode(Vectors.hyperplaneBuckets(col(v), dim, bits, tables, seed = 2000))
+          .as(Seq("t", "b")))
+        .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
+    val q = bucketize(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
+    val c = bucketize(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v")
+    val cand = q.join(c, Seq("bk")).filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_v", "n_id", "n_v").distinct()
+    val scored = cand.withColumn("cos", round(Vectors.cosine(col("q_v"), col("n_v")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

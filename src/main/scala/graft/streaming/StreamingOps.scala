@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10 extension): the same
+  * filter/agg operators the batch engine exposes, over an event
+  * stream with event-time semantics.
+  *
+  * Design: transforms are written against an unbounded DataFrame —
+  * identical code path batch vs stream (`readStream` swaps in). At
+  * scale: watermarking bounds state; the windowed aggregate shuffles
+  * once on (window, key); state lives in the default HDFS-backed /
+  * RocksDB state store.
+  */
+object StreamingOps {
+
+  /** Schema of the events table as a stream source (ts as long nanos —
+    * see nanosAsLong note in [[graft.GraftSession]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Nanos-long → timestamp column. */
+  def tsCol(c: String = "ts") =
+    timestamp_micros((col(c) / 1000L).cast("long")).as("event_time")
+
+  /** Tumbling-window counts+sums per event_type with a watermark for
+    * late data. Works on a batch OR streaming DataFrame. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol())
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Read the events parquet as a (bounded) stream — used by tests to
+    * drive the streaming operators synchronously via the memory sink. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}

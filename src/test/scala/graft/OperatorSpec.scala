@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Per-operator unit tests on tiny in-code fixtures (SURVEY §5.1):
+  * exact expected outputs, checked via collect. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("W1 interpolateLinear: position-based linear fill + ffill/bfill edges") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None), ("a", 4, Some(40.0)),
+      ("a", 5, None),                        // trailing → ffill(40)
+      ("b", 1, None), ("b", 2, Some(5.0)),   // leading → bfill(5)
+      ("c", 1, None)                         // all-null group stays null
+    ).toDF("g", "ord", "v")
+    val got = Windows.interpolateLinear(df, Seq("g"), Seq(col("ord")), "v")
+      .select("g", "ord", "v_filled").as[(String, Int, Option[Double])]
+      .collect().toSet
+    assert(got === Set(
+      ("a", 1, Some(10.0)), ("a", 2, Some(20.0)), ("a", 3, Some(30.0)),
+      ("a", 4, Some(40.0)), ("a", 5, Some(40.0)),
+      ("b", 1, Some(5.0)), ("b", 2, Some(5.0)),
+      ("c", 1, None)))
+  }
+
+  test("W2 seasonalFill: fine → coarse → overall median priority") {
+    val df = Seq(
+      // g=x: fine bucket 1 has data (10,20) → median 15 fills row 3
+      ("x", 1, 1, Some(10.0)), ("x", 1, 1, Some(20.0)), ("x", 1, 1, None),
+      // fine bucket 2 empty → coarse bucket 1 median (10,20) = 15
+      ("x", 2, 1, None),
+      // fine 3 / coarse 2 empty → overall median 15
+      ("x", 3, 2, None)
+    ).toDF("g", "fine", "coarse", "v")
+    val got = Windows.seasonalFill(df, "g", col("fine"), col("coarse"), "v")
+      .select("v_filled").as[Double].collect().sorted
+    assert(got === Array(10.0, 15.0, 15.0, 15.0, 20.0))
+  }
+
+  test("W3 knnImpute: inverse-distance-weighted k nearest donors") {
+    val df = Seq(
+      (1L, "d1", 0.0, Some(10.0)), (2L, "d1", 1.0, None),
+      (3L, "d1", 2.0, Some(20.0)), (4L, "d1", 10.0, Some(50.0))
+    ).toDF("id", "g", "f", "v")
+    val got = Impute.knnImpute(df, "g", "id", Seq("f"), "v", k = 2)
+      .filter(col("id") === 2).select("v_imputed").as[Double].head()
+    // donors at dist 1 (v=10) and 1 (v=20) → weights equal → 15
+    assert(math.abs(got - 15.0) < 1e-12)
+  }
+
+  test("A7 olsPredict: exact closed form on a known line") {
+    // y = 3x + 7 exactly → slope 3, intercept 7, pred(10) = 37
+    val df = Seq(("g", 1, 10.0), ("g", 2, 13.0), ("g", 3, 16.0), ("g", 4, 19.0))
+      .toDF("k", "x", "y")
+    val r = Regression.olsPredict(df, Seq("k"), col("x"), col("y"), atX = 10)
+      .select("slope", "intercept", "pred").as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 3.0) < 1e-9 && math.abs(r._2 - 7.0) < 1e-9 &&
+      math.abs(r._3 - 37.0) < 1e-9)
+  }
+
+  test("A7 olsPredict: clamps negative predictions to 0 (ref max(0, pred))") {
+    val df = Seq(("g", 1, 100.0), ("g", 2, 50.0), ("g", 3, 0.0)).toDF("k", "x", "y")
+    val r = Regression.olsPredict(df, Seq("k"), col("x"), col("y"), atX = 10)
+      .select("pred").as[Double].head()
+    assert(r === 0.0)
+  }
+
+  test("J2 nearestJoin picks the true argmin with tie-break") {
+    val left = Seq((1, 0.0), (2, 9.0)).toDF("lid", "lx")
+    val right = Seq((10, 1.0), (11, 8.0), (12, 10.0)).toDF("rid", "rx")
+    val got = Nearest.nearestJoin(left, right, abs(col("lx") - col("rx")),
+      Seq("lid"), Seq(col("rid")))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(got === Set((1, 10), (2, 11)))  // 2 is dist-1 from both 11,12? no: |9-8|=1,|9-10|=1 → tie → min rid 11
+  }
+
+  test("J3+A6 gravityFlows: flows match closed form; rows sum to 1") {
+    val zones = Seq((0, 10L), (1, 20L), (2, 30L)).toDF("z", "m")
+    val rows = Nearest.gravityFlows(zones, "z", "m",
+      (o, d) => abs(o - d).cast("double")).collect()
+    assert(rows.length === 6)
+    val f01 = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 1).get.getDouble(2)
+    assert(math.abs(f01 - 10.0 * 20.0 / 1.0) < 1e-9)
+    val f02 = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 2).get.getDouble(2)
+    assert(math.abs(f02 - 10.0 * 30.0 / 4.0) < 1e-9)
+    val rowSums = rows.groupBy(_.getInt(0)).values.map(_.map(_.getDouble(3)).sum)
+    rowSums.foreach(s => assert(math.abs(s - 1.0) < 1e-4))  // flow_norm rounded to 6dp
+  }
+
+  test("Dedup.exact groups identical normalized text") {
+    val docs = Seq((1L, "Hello World"), (2L, "  hello world  "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.ngramJaccardPairs finds a known near-dup pair") {
+    val base = "a b c d e f g h i j"
+    val docs = Seq((1L, base), (2L, base + " k"), (3L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("Dedup.minhashLshPairs recalls an exact duplicate and verifies jaccard") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val docs = Seq((1L, base), (2L, base), (3L, "z y x w v u t s r q p2 o2 n2 m2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      w = 3, numHashes = 16, bands = 8, threshold = 0.9)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vs.filter(col("vec_id") === 1), vs,
+      "vec_id", "embedding", k = 2)
+      .select("n_id", "rank").as[(Long, Int)].collect().toSet
+    assert(got === Set((4L, 1), (2L, 2)))
+  }
+
+  test("Relational.pivotCount fills absent combinations with 0") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "t")
+    val got = Relational.pivotCount(df, "k", "t", Seq("a", "b"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got === Set((1, 2L, 0L), (2, 0L, 1L)))
+  }
+
+  test("Multimodal plumbing: byte_len survives the stubbed decode") {
+    val docs = Seq((1L, "abcd", "s")).toDF("doc_id", "text", "source")
+    val got = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text", "source"))
+      .select("media_id", "byte_len").as[(Long, Long)].head()
+    assert(got === ((1L, 4L)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming smoke: the windowed aggregate produces the same
+  * result through the streaming engine (memory sink, processed
+  * synchronously) as through the batch engine. */
+class StreamingSpec extends SparkSpec {
+
+  test("windowedAgg: streaming result == batch result on the events table") {
+    val batch = StreamingOps.windowedAgg(Tables(spark, sf, "events"))
+      .agg(sum("n"), count(lit(1))).collect()(0)
+
+    // file-stream source needs a directory: stage the events parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    val stream = StreamingOps.readEventStream(spark, dir.getPath)
+    val q = StreamingOps.windowedAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out").agg(sum("n"), count(lit(1))).collect()(0)
+    assert(streamed === batch)
+  }
+
+  test("sessionize runs on the event stream shape (batch check)") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
+      .toDF("user_id", "s")
+    val got = graft.operators.Windows.sessionize(df, "user_id", col("s"), gapSeconds = 1800)
+      .groupBy("user_id").agg(max("session_id").as("ns"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+}

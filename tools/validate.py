@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query
+output parquet in OUTDIR, run the matching oracle_sql.json entry in
+DuckDB over the same sf tables and compare (schema-lenient, value-exact
+after sorting columns by name and rows by content). Usage:
+
+    python3 tools/validate.py <sfDir> <outDir>
+"""
+import json, math, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(repr(round(v, 12))) if False else v
+    return v
+
+def norm_rows(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [names[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    results = {}
+    for qdir in sorted(Path(out_dir).iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        try:
+            tbl = pq.read_table(str(qdir))
+        except Exception as e:
+            results[name] = f"SPARK_OUTPUT_UNREADABLE: {e}"
+            continue
+        spark_names = list(tbl.column_names)
+        spark_rows = [tuple(row[c] for c in spark_names) for row in tbl.to_pylist()]
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(spark_rows)}" + (" EMPTY!" if not spark_rows else "")
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            duck_names = [d[0] for d in cur.description]
+            duck_rows = [tuple(r) for r in cur.fetchall()]
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        sn, srows = norm_rows(spark_names, spark_rows)
+        dn, drows = norm_rows(duck_names, duck_rows)
+        if sn != dn:
+            results[name] = f"COLUMN_MISMATCH spark={sn} duck={dn}"
+            continue
+        if len(srows) != len(drows):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} duck={len(drows)}"
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            if not rows_equal(a, b):
+                bad = (i, a, b)
+                break
+        if bad:
+            results[name] = f"VALUE_MISMATCH at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"
+        else:
+            results[name] = f"OK rows={len(srows)}" + (" EMPTY!" if not srows else "")
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    for k in sorted(results):
+        print(f"{k:28s} {results[k]}")
+    print(f"\n{n_ok} OK / {n_rows_only} rows-only / {len(results)} total")
+    return 0 if n_ok + n_rows_only == len(results) else 1
+
+def rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            if x is not y:
+                return False
+            continue
+        if isinstance(x, float) or isinstance(y, float):
+            if x == y:
+                continue
+            if isinstance(x, str) or isinstance(y, str):
+                return False
+            # exact-compare policy with a tiny escape hatch for printing
+            if math.isnan(float(x)) and math.isnan(float(y)):
+                continue
+            return False
+        else:
+            if hasattr(x, "timestamp") and hasattr(y, "timestamp"):
+                if x != y:
+                    return False
+                continue
+            if x != y:
+                return False
+    return True
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
