@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{CosineSim, HyperplaneBuckets}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions hook exposing the engine's custom Catalyst
+  * expressions to SQL (`spark.sql("SELECT cosine_sim(a, b) ...")`),
+  * so the library surface is reachable from pure-SQL clients too.
+  * Registered by [[GraftSession]] via `withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (args: Seq[Expression]) => HyperplaneBuckets(args(0),
+        intArg(args(1), "dim"), intArg(args(2), "bits"),
+        intArg(args(3), "tables"), intArg(args(4), "seed"))))
+  }
+}

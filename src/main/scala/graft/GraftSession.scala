@@ -21,6 +21,7 @@ object GraftSession {
     SparkSession.builder().master(master).appName(appName)).getOrCreate()
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions",
       Runtime.getRuntime.availableProcessors.toString)
     .config("spark.sql.adaptive.enabled", "true")

@@ -22,8 +22,15 @@ object Vectors {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** cosine(a,b) = a·b / (‖a‖‖b‖) */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cosine(a,b) = a·b / (‖a‖‖b‖) — fused single-pass codegen
+    * expression ([[CosineSim]]); same index-order accumulation as the
+    * zip_with/aggregate composition it replaced. */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
+
+  /** The composed-builtins formulation (interpreter-evaluated
+    * higher-order functions) — kept as the reference semantics the
+    * fused expression is tested against. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane LSH bucket ids, one per hash table: bit i of
     * table t = sign(a · h_{t,i}) with deterministic pseudo-random

@@ -64,25 +64,28 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature column: minhash_i(doc) = min over shingles of
-    * xxhash64(i, shingle). Probability the mins agree ≈ Jaccard. */
-  private def minhashSig(shingleArr: org.apache.spark.sql.Column, numHashes: Int) =
-    (0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }
-
   /** MinHash+LSH near-dup: `numHashes` minhashes in `bands` bands; docs
     * agreeing on any whole band become candidates; candidates are then
     * verified with exact Jaccard ≥ threshold (so LSH only affects
-    * recall, never precision). Output: (doc_a, doc_b, jaccard). */
+    * recall, never precision). Output: (doc_a, doc_b, jaccard).
+    *
+    * The distinct-shingle array is materialized ONCE per doc and reused
+    * by both the 16 minhash folds and the verification stage —
+    * higher-order array functions are interpreter-evaluated, so
+    * recomputing the shingle expression per hash multiplies plan and
+    * eval cost ~numHashes×. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = docs.select(
+    val shingled = docs.select(
       col(idCol).as("doc"),
-      array(minhashSig(array_distinct(Text.shingles(col(textCol), w)), numHashes): _*).as("sig"))
+      array_distinct(Text.shingles(col(textCol), w)).as("sh"))
+    val sigs = shingled.select(col("doc"), col("sh"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+      }: _*).as("sig"))
     // band key = (band index, hash of the band's slice of the signature)
     val banded = sigs.select(
       col("doc"),
@@ -94,13 +97,10 @@ object Dedup {
       .join(banded.select(col("doc").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates exactly
-    val withText = docs.select(col(idCol), col(textCol))
+    // verify candidates exactly on the precomputed shingle sets
     val verified = cand
-      .join(withText.toDF("doc_a", "text_a"), "doc_a")
-      .join(withText.toDF("doc_b", "text_b"), "doc_b")
-      .withColumn("sh_a", array_distinct(Text.shingles(col("text_a"), w)))
-      .withColumn("sh_b", array_distinct(Text.shingles(col("text_b"), w)))
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

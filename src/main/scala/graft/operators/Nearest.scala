@@ -48,6 +48,46 @@ object Nearest {
       rightCols.map(c => col(s"_m._r.$c").as(c)) :+ col("_m._dist").as("_dist"): _*)
   }
 
+  /** The 100 TB path for the nearest-neighbor join (SURVEY §7 risk 7):
+    * grid-bucketed spatial join. Right points are assigned to
+    * `cellDeg`-sized lat/lon cells once; each left point probes its own
+    * cell plus the 8 neighbors via a plain equi-join on the cell id,
+    * then the same `min(struct(...))` argmin reduces candidates. Work
+    * is proportional to cell occupancy, not |left|×|right|, and the
+    * shuffle key is the cell id — no broadcast or cross product.
+    *
+    * Contract: exact whenever the true nearest neighbor lies within
+    * ±1 cell (guaranteed if max NN distance < `cellDeg`); left rows
+    * with an empty 3×3 neighborhood are dropped (use a coarser grid or
+    * the broadcast [[nearestJoin]] for guaranteed-total output).
+    * Columns `latL/lonL` belong to `left`, `latR/lonR` to `right`;
+    * the frames must not share column names. Adds `_dist` (euclidean
+    * in degrees, matching [[nearestJoin]] with [[Geo.euclidDeg]]).
+    */
+  def gridNearestJoin(left: DataFrame, right: DataFrame,
+                      latL: String, lonL: String, latR: String, lonR: String,
+                      cellDeg: Double, tieBreak: Seq[Column]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val cellR = Geo.gridCell(col(latR), col(lonR), cellDeg)
+    val bucketedR = right.withColumn("_cell", cellR)
+    // left probes 9 cells: its own + 8 neighbors
+    val offsets = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dy, dx)
+    val probeCells = array(offsets.map { case (dy, dx) =>
+      struct(
+        (floor(col(latL) / cellDeg).cast("int") + dy).as("gy"),
+        (floor(col(lonL) / cellDeg).cast("int") + dx).as("gx"))
+    }: _*)
+    val probedL = left.withColumn("_cell", explode(probeCells))
+    val crossedInCell = probedL.join(bucketedR, "_cell")
+      .withColumn("_dist", Geo.euclidDeg(col(latL), col(lonL), col(latR), col(lonR)))
+    val payload = struct(rightCols.map(col): _*).as("_r")
+    crossedInCell.groupBy(leftCols.map(col): _*)
+      .agg(min(struct(col("_dist") +: tieBreak :+ payload: _*)).as("_m"))
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"_m._r.$c").as(c)) :+ col("_m._dist").as("_dist"): _*)
+  }
+
   /** Gravity flows over a zone table `(zone, mass)`:
     * flow(o,d) = mass_o · mass_d / dist(o,d)^2, diagonal excluded,
     * plus the A6 row-normalization flow / Σ_d flow. `distExpr` sees

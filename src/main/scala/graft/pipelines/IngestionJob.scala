@@ -1,0 +1,47 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+
+/** Reference pipeline 4 (ref `ingestion.py`, `Ingestion`): orchestrate
+  * the extractors and bulk-load every resulting table into a database,
+  * with per-table error isolation — one bad table logs and continues,
+  * it never aborts the rest (ref `ingestion.py:29-38`).
+  *
+  * The writer is injected so tests exercise the orchestration with a
+  * parquet writer; production uses [[jdbcWriter]], the S8 mapping of
+  * `to_sql(..., if_exists='replace', chunksize=10000)`
+  * (ref `ingestion.py:35`). Each JDBC write is distributed: every
+  * partition opens its own connection and batches inserts, so load
+  * bandwidth scales with executors, not the driver.
+  */
+object IngestionJob {
+
+  /** Save each named table; returns per-table success/failure (error
+    * message), mirroring the reference's log-and-continue policy. */
+  def saveTables(tables: Seq[(String, DataFrame)],
+                 writer: (DataFrame, String) => Unit): Map[String, Either[String, Long]] =
+    tables.map { case (name, df) =>
+      name -> (try Right {
+        val n = df.count()
+        writer(df, name)
+        n
+      } catch { case e: Exception => Left(e.getMessage) })
+    }.toMap
+
+  /** S8: JDBC sink, replace-mode, batched — `ingestion.py:29-38`. */
+  def jdbcWriter(url: String, user: String, password: String,
+                 dbSchema: String = "public", batchSize: Int = 10000)
+                (df: DataFrame, table: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"$dbSchema.$table")
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchSize)
+      .mode("overwrite")
+      .save()
+
+  /** Test/local sink: parquet directory per table. */
+  def parquetWriter(baseDir: String)(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/$table")
+}

@@ -44,4 +44,34 @@ object StreamingOps {
     * drive the streaming operators synchronously via the memory sink. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Stateful per-user session counting via `mapGroupsWithState`
+    * (SURVEY §2.10: custom state beyond windowed aggs). State = (last
+    * event second, sessions so far); a gap > `gapSeconds` opens a new
+    * session. Emits one (user_id, n_sessions, n_events) row per user
+    * per micro-batch — `update` output mode. State is per-key and
+    * bounded (two longs), so it scales to any user cardinality;
+    * real deployments add a state timeout for user churn. */
+  private[graft] case class SessionState(lastSec: Long, sessions: Long, events: Long)
+
+  def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .select(col("user_id").cast("long"), expr("ts div 1000000000").as("s"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { s =>
+            val newSession = st.lastSec == Long.MinValue || s - st.lastSec > gapSeconds
+            st = SessionState(s, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          (userId, st.sessions, st.events)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Nearest
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans the engine relies on at scale
+  * must actually materialize — filters reach the parquet scan, small
+  * dims broadcast, argmin aggregates combine map-side, scans prune
+  * columns. A regression here is a 100×-at-scale bug even when results
+  * stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("P2 filter+project: predicate pushed to parquet, columns pruned") {
+    val plan = physicalPlan("q_p2_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(800))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(800))
+    // scan must read only the 6 needed columns, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("J1 dim joins broadcast (no shuffle of the fact side)") {
+    val plan = physicalPlan("q_j1_join3")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("J2 nearest-join argmin partial-aggregates map-side") {
+    val plan = physicalPlan("q_j2_nearest")
+    assert(plan.contains("partial_min"), plan.take(1500))
+  }
+
+  test("A1 group-aggregate runs partial (map-side combine) + final") {
+    val plan = physicalPlan("q_a1_groupsum")
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE finalizes (and codegen-wraps) the plan only at execution —
+    // and only for THIS df's plan (count() would build a different one)
+    val df = SparkEntry.queries("q_p2_filter_project")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the simple string
+    assert(plan.contains("*(1)"), plan.take(1200))
+  }
+
+  test("gridNearestJoin matches broadcast nearestJoin when cell > max NN distance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 60).map(i => (i, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+      .toDF("lid", "llat", "llon")
+    val right = (1 to 40).map(i => (i + 1000, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+      .toDF("rid", "rlat", "rlon")
+    val exact = Nearest.nearestJoin(left, right,
+      graft.operators.Geo.euclidDeg(col("llat"), col("llon"), col("rlat"), col("rlon")),
+      Seq("lid"), Seq(col("rid")))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    // 10°×10° box, 40 random right points → max NN distance ≪ 5°
+    val grid = Nearest.gridNearestJoin(left, right, "llat", "llon", "rlat", "rlon",
+      cellDeg = 5.0, tieBreak = Seq(col("rid")))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(grid === exact)
+  }
+
+  test("cosine_sim SQL function registered via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))) AS c").collect()(0).getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-6)
+  }
+
+  test("fused CosineSim equals the composed zip_with/aggregate form bit-for-bit") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings").limit(200)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(5000)
+    val diff = pairs.select(
+      graft.functions.Vectors.cosine(col("va"), col("vb")).as("fused"),
+      graft.functions.Vectors.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff === 0)
+  }
+}

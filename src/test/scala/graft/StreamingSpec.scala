@@ -28,6 +28,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful sessionCounts (mapGroupsWithState) matches batch sessionize") {
+    import spark.implicits._
+    // batch truth
+    val batch = graft.operators.Windows.sessionize(
+      Tables(spark, sf, "events").withColumn("s", expr("ts div 1000000000")),
+      "user_id", col("s"), gapSeconds = 1800)
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    val q = StreamingOps.sessionCounts(StreamingOps.readEventStream(spark, dir.getPath))
+      .writeStream.outputMode("update").format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_out")
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("sessionize runs on the event stream shape (batch check)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
