@@ -249,6 +249,18 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // F10: Web-Mercator → WGS84 closed-form reprojection (geo kernel)
+    "q_f_mercator" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") % 2000) * 10000 - 10000000).cast("double").as("x"),
+        ((col("c_custkey") % 1500) * 8000 - 6000000).cast("double").as("y"))
+      c.select(col("c_custkey"),
+        round(Geo.mercatorToLon(col("x")), 6).as("lon"),
+        round(Geo.mercatorToLat(col("y")), 6).as("lat"))
+        .orderBy("c_custkey")
+    }),
+
     // F: regexp scalar extraction from a JSON-ish string column
     "q_f_regexp" -> ((s, dir) => {
       t(s, dir, "events").select(col("event_id"),
@@ -279,6 +291,12 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("keep_id")
+    }),
+
+    // Dedup 1b: APPLY the exact dedup — corpus minus duplicates
+    "q_dedup_apply" -> ((s, dir) => {
+      Dedup.applyExact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // Dedup 2: n-gram (word-3-shingle) Jaccard via inverted-index join
@@ -321,6 +339,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity 3: IVF coarse-quantizer ANN (1-probe) — no SQL oracle
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // Similarity 2: LSH-bucketed ANN top-k (the scale path) — no SQL oracle
     "q_sim_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -330,10 +355,11 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // Text 1: token counts + quality features
+    // Text 1: token counts (whitespace + BPE-ish regex) + quality features
     "q_text_stats" -> ((s, dir) => {
       Text.qualityFeatures(t(s, dir, "documents"), "text", stopwords = Seq("the", "a"))
-        .select(col("doc_id"), col("n_tokens"),
+        .withColumn("n_regex_tokens", Text.regexTokenCount(col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("n_regex_tokens"),
           col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
         .orderBy("doc_id")
     }),
@@ -589,6 +615,17 @@ object SparkEntry {
       """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_f_mercator" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey % 2000) * 10000 - 10000000 AS DOUBLE) AS x,
+        |    CAST((c_custkey % 1500) * 8000 - 6000000 AS DOUBLE) AS y
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  ROUND(x / 6378137.0 * (180.0 / pi()), 6) AS lon,
+        |  ROUND((atan(exp(y / 6378137.0)) * 2 - pi() / 2) * (180.0 / pi()), 6) AS lat
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
     "q_s7_explode" ->
       """SELECT event_id, 'k' AS key,
         |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS val
@@ -604,6 +641,10 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_apply" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
@@ -652,7 +693,9 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE)
         |      / COUNT(*) AS stopword_ratio
         |  FROM t GROUP BY doc_id)
-        |SELECT a.doc_id, a.n_tokens, a.avg_token_len, a.stopword_ratio,
+        |SELECT a.doc_id, a.n_tokens,
+        |  CAST(len(regexp_extract_all(d.text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_regex_tokens,
+        |  a.avg_token_len, a.stopword_ratio,
         |  CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
         |    / CAST(length(d.text) AS DOUBLE) AS punct_ratio
         |FROM agg a JOIN documents d ON a.doc_id = d.doc_id

