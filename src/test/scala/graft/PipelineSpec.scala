@@ -81,6 +81,46 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(lin - 12.0) < 1e-12)
   }
 
+  test("TemperaturasRM end-to-end: REST fixture → flatten → NN-assign → reconstruct") {
+    import graft.sources.RestJsonSource
+    // S6 fixture transport shaped like the reference's weather API
+    // (getTemperaturaHistoricaDiaria/{codigo}/{año} — FIXTURES.md §7)
+    val stations = Map(
+      "330021" -> ("Quinta Normal", -33.44, -70.68),
+      "330030" -> ("Pudahuel", -33.39, -70.79))
+    val fetcher: ((String, Int)) => Option[String] = { case (codigo, año) =>
+      val (nombre, lat, lon) = stations(codigo)
+      // two months, one null gap on day 2 of month 1
+      Some(s"""{"nombreEstacion":"$nombre","latitud":"$lat","longitud":"$lon","region":13,
+              |"datos":{"1":{"1":{"media":10.0},"2":{"media":null},"3":{"media":14.0}},
+              |         "2":{"1":{"media":${12 + año % 10}.0}}}}""".stripMargin.replace("\n", ""))
+    }
+    val schema = StructType(Seq(
+      StructField("nombreEstacion", StringType), StructField("latitud", StringType),
+      StructField("longitud", StringType), StructField("region", IntegerType),
+      StructField("datos", MapType(StringType,
+        MapType(StringType, StructType(Seq(StructField("media", DoubleType))))))))
+    val requests = for (c <- stations.keys.toSeq; y <- Seq(2020, 2021)) yield (c, y)
+    val fetched = RestJsonSource.fetch(spark, requests, fetcher, schema)
+    val raw = fetched.select(
+      col("request._1").as("Codigo_Estacion"),
+      col("data.nombreEstacion").as("Nombre_Estacion"),
+      col("data.latitud").as("Latitud"), col("data.longitud").as("Longitud"),
+      col("data.region").as("Region"), col("request._2").as("Año"),
+      col("data.datos").as("datos"))
+    val temps = TemperaturasRM.paso1Flatten(raw)
+    assert(temps.count() === 12)  // 2 stations × 2 years × 3 non-null days
+    assert(temps.filter(col("Temperatura_Media").isNull).count() === 0)
+
+    val comunas = Seq(("Santiago", 13, -33.45, -70.66), ("Pudahuel", 13, -33.40, -70.80))
+      .toDF("Comuna", "codregion", "lat_centroid", "lon_centroid")
+    val series = TemperaturasRM.paso2Asignar(comunas, temps)
+    assert(series.select("Comuna").distinct().count() === 2)
+    val filled = TemperaturasRM.paso3Reconstruir(
+      series.select("Comuna", "Fecha", "Temperatura_Media"), "lineal")
+    assert(filled.filter(col("Temperatura_Media_filled").isNull).count() === 0)
+  }
+
   test("MatrizMovilidad: full relational chain to row-stochastic flows") {
     val parv = Seq(("ALHUÉ", 2020, 10, "parvulario"), ("SANTIAGO", 2020, 100, "parvulario"))
       .toDF("comuna", "ano", "matriculas", "tipo")
