@@ -276,6 +276,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of join (union+window, single shuffle): latest purchase ≤ each click
+    "q_asof_join" -> ((s, dir) => {
+      val e = eventsPrep(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "s")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "s").agg(max(col("value")).as("pvalue"))
+      Temporal.asOfJoin(clicks, purchases, "user_id", "s", "s", Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("s"),
+          col("_match._rt").as("purchase_s"), col("_match.pvalue").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Anti-join: customers with no orders
     "q_j_anti" -> ((s, dir) => {
       Relational.antiJoin(t(s, dir, "customer"),
@@ -630,6 +643,16 @@ object SparkEntry {
       """SELECT event_id, 'k' AS key,
         |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH e AS ($eventsPrepSql),
+         |c AS (SELECT event_id, user_id, s FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, s, MAX(value) AS pvalue FROM e
+         |      WHERE event_type = 'purchase' GROUP BY user_id, s)
+         |SELECT c.event_id, c.user_id, c.s,
+         |  p.s AS purchase_s, p.pvalue AS purchase_value
+         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.s >= p.s
+         |ORDER BY c.event_id""".stripMargin,
 
     "q_j_anti" ->
       """SELECT c_custkey, c_name FROM customer

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ in double (floats widened first — exact). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double — fused codegen expression ([[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Composed-builtins dot (interpreter path, reference semantics). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

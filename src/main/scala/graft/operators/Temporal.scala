@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks natively (SURVEY §2.3 "not present in
+  * reference — free extensions"; preference (a): composed from
+  * built-ins because the semantics decompose exactly).
+  *
+  * As-of join: for every left row, attach the latest right row with
+  * `rightTime ≤ leftTime` in the same key group — the canonical
+  * "state at event time" operator (features-as-of, price-as-of).
+  *
+  * Implementation is the union trick, NOT a range cross join: tag both
+  * sides, union, one window pass carrying the last-seen right payload
+  * forward in time order, keep left rows. Cost = ONE shuffle on the
+  * key + a linear scan per group — at 100 TB this is shuffle-optimal
+  * (a naive interval join is quadratic per key; Spark's own
+  * sort-merge can't express "latest ≤"). Right rows sort before left
+  * rows at equal timestamps, so the match is inclusive (≥), matching
+  * DuckDB/kdb asof semantics.
+  */
+object Temporal {
+
+  /** Inner as-of join. `right` should be unique per (key, rightTime) —
+    * pre-aggregate otherwise (ties at identical timestamps are
+    * engine-arbitrary). Returns left columns + `_match` struct with
+    * field `_rt` (matched right time) and `rightPayload` fields. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(key),
+      col(rightTime).cast("long").as("_t"),
+      struct(col(rightTime).as("_rt") +: rightPayload.map(col): _*).as("_rp"))
+      .withColumn("_side", lit(0))
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_match").isNotNull)
+      .select(left.columns.map(col) :+ col("_match"): _*)
+  }
+}

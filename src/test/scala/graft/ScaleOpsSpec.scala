@@ -58,6 +58,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("Temporal.asOfJoin picks the latest right row at-or-before each left time") {
+    val clicks = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u1", 50L), (4L, "u2", 500L))
+      .toDF("event_id", "user_id", "s")
+    val purchases = Seq(("u1", 100L, 10.0), ("u1", 200L, 20.0), ("u2", 600L, 30.0))
+      .toDF("user_id", "s", "pvalue")
+    val got = graft.operators.Temporal.asOfJoin(clicks, purchases, "user_id", "s", "s", Seq("pvalue"))
+      .select(col("event_id"), col("_match._rt").as("ps"), col("_match.pvalue"))
+      .as[(Long, Long, Double)].collect().toSet
+    // click@100 matches purchase@100 (inclusive); click@250 → purchase@200;
+    // click@50 has no earlier purchase (dropped); u2 click@500 precedes its purchase (dropped)
+    assert(got === Set((1L, 100L, 10.0), (2L, 200L, 20.0)))
+  }
+
+  test("DotProduct codegen expression equals composed zip_with/aggregate fold") {
+    val e = Tables(spark, sf, "embeddings").limit(100)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(2000)
+    val diff = pairs.select(
+      graft.functions.Vectors.dot(col("va"), col("vb")).as("fused"),
+      graft.functions.Vectors.dotComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff === 0)
+    val sql = spark.sql(
+      "SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(sql === 6.0)
+  }
+
+  test("partitioned parquet writes prune partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toFile
+    dir.deleteOnExit()
+    Tables(spark, sf, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.partitionBy("ship_year").mode("overwrite").parquet(dir.getPath)
+    val read = spark.read.parquet(dir.getPath).filter(col("ship_year") === 1995)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"), plan.take(1500))
+    assert(read.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
