@@ -298,6 +298,51 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // TPC-H Q3 shape: 3-way join, filtered fact + broadcast dim, top-10
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+          col("o_orderpriority"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join through region→nation→{customer,supplier}
+    "q_tpch_q5" -> ((s, dir) => {
+      val asia = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val nat = broadcast(t(s, dir, "nation"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996).select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Data-quality profile: per-column null/distinct/min/max/mean, one pass
+    "q_profile" -> ((s, dir) => {
+      Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_name")
+    }),
+
     // ---- training-data extensions -------------------------------------
 
     // Dedup 1: exact (hash group-by on normalized content)
@@ -318,6 +363,15 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", w = 3, threshold = 0.05)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup 2b: pairwise matches → transitive clusters (connected components)
+    "q_dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, threshold = 0.05)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .orderBy("node")
     }),
 
     // Dedup 3: MinHash+LSH with exact-Jaccard verification — no SQL oracle
@@ -665,9 +719,67 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
 
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND CAST(year(o_orderdate) AS INT) = 1996
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_profile" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val,
+           |  ${dsumSql(c)} / COUNT($c) AS mean_val
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     "q_dedup_apply" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
+        |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix),
+        |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05),
+        |e AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM e
+        |  UNION
+        |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s)
+        |SELECT s AS node, CAST(LEAST(s, MIN(dd)) AS BIGINT) AS cluster
+        |FROM reach GROUP BY s ORDER BY node""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),

@@ -116,6 +116,40 @@ object Dedup {
     verified.select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list — turns pairwise
+    * matches into dedup clusters (every doc labeled with the min doc id
+    * reachable through match edges, transitively). Iterative
+    * smallest-label propagation: each round every node adopts the min
+    * label in its neighborhood; converges in O(component diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds).
+    * Each round is one shuffle; no driver-side graph. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
     * take the sign vector. Near-dups = pairs within `maxHamming` bits,
     * found by splitting the 64 bits into (maxHamming+1) bands — the

@@ -124,6 +124,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("Dedup.connectedComponents labels transitive chains with the min id") {
+    // chain 1-2-3 plus isolated pair 10-11: clusters {1,2,3}→1, {10,11}→10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("Profile.profile: one row per column with exact counts") {
+    val df = Seq((1.0, Some(2.0)), (3.0, None), (3.0, Some(6.0))).toDF("a", "b")
+    val got = Profile.profile(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      ("a", 3L, 0L, 2L, 1.0, 3.0),
+      ("b", 3L, 1L, 2L, 2.0, 6.0)))
+  }
+
   test("Similarity.bruteForceTopK ranks by cosine") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
