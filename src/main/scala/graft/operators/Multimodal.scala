@@ -49,6 +49,38 @@ object Multimodal {
     (width, height, len.toDouble / math.max(width * height, 1))
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes;
+    * the stub slices the payload proportionally so output size tracks
+    * the requested scale deterministically. Signature — (bytes, w, h)
+    * → bytes — is the codec contract. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val (w, h, _) = decodeStub(payload)
+    val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+    java.util.Arrays.copyOfRange(payload, 0, math.max(1, (payload.length * ratio).toInt))
+  }
+
+  /** Frame sampling: one payload → up to `n` evenly-spaced "frame"
+    * payloads, exploded to one row each (the Spark-side shape of video
+    * sampling: fan-out happens before any shuffle, so downstream
+    * per-frame feature extraction parallelizes). Frames are stubbed as
+    * deterministic payload slices. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("frame_payload", BinaryType)))
+    implicit val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val k = math.min(n, math.max(1, bytes.length))
+      (0 until k).iterator.map { i =>
+        val start = (bytes.length.toLong * i / k).toInt
+        val end = (bytes.length.toLong * (i + 1) / k).toInt
+        Row(id, i, java.util.Arrays.copyOfRange(bytes, start, math.max(end, start + 1)))
+      }
+    }
+  }
+
   /** Partition-batched "decode": one pass per partition, no shuffle.
     * Output: (media_id, byte_len, width, height, density). */
   def extractFeatures(media: DataFrame): DataFrame = {

@@ -166,4 +166,16 @@ class OperatorSpec extends SparkSpec {
       .select("media_id", "byte_len").as[(Long, Long)].head()
     assert(got === ((1L, 4L)))
   }
+
+  test("Multimodal.sampleFrames fans one payload out to n frame rows pre-shuffle") {
+    val docs = Seq((1L, "0123456789abcdef", "s")).toDF("doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs, "doc_id", "text", "source"), n = 4)
+      .collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getInt(1)).sorted.toSeq === Seq(0, 1, 2, 3))
+    // frames partition the payload: concatenation restores the original bytes
+    val joined = frames.sortBy(_.getInt(1))
+      .flatMap(_.getAs[Array[Byte]](2)).map(_.toChar).mkString
+    assert(joined === "0123456789abcdef")
+  }
 }

@@ -51,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming dropDuplicates dedups the event stream with a watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdd_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "a.parquet"))
+    java.nio.file.Files.copy(                       // same data twice → dups
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "b.parquet"))
+    val stream = StreamingOps.readEventStream(spark, dir.getPath)
+      .withColumn("event_time", StreamingOps.tsCol())
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_out").count()
+    val expected = Tables(spark, sf, "events").count()
+    assert(n === expected)  // doubled input, deduped back to the original count
+  }
+
   test("sessionize runs on the event stream shape (batch check)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
