@@ -221,6 +221,13 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Cube: every grouping combination in one pass
+    "q_cube" -> ((s, dir) => {
+      Relational.cubeCounts(t(s, dir, "orders"), "o_orderstatus", "o_orderpriority",
+        Exact.dsum(col("o_totalprice")))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // F-suite: scalar functions (string, date parts, date build, arithmetic)
     "q_f_scalars" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -651,6 +658,13 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("l_quantity")} AS m
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+         |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("o_totalprice")} AS m
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_f_scalars" ->
       """SELECT o_orderkey, lower(trim(o_orderpriority)) AS prio,

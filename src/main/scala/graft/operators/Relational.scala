@@ -74,4 +74,13 @@ object Relational {
         coalesce(col(k1), lit("ALL")).as(k1),
         coalesce(col(k2), lit("ALL")).as(k2),
         col("n"), col("m"))
+
+  /** Cube aggregate — all 2^k grouping combinations in one pass. */
+  def cubeCounts(df: DataFrame, k1: String, k2: String, measure: Column): DataFrame =
+    df.cube(col(k1), col(k2))
+      .agg(count(lit(1)).as("n"), measure.as("m"))
+      .select(
+        coalesce(col(k1), lit("ALL")).as(k1),
+        coalesce(col(k2), lit("ALL")).as(k2),
+        col("n"), col("m"))
 }

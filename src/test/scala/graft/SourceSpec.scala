@@ -71,6 +71,22 @@ class SourceSpec extends SparkSpec {
     assert(rm === Set("Santiago", "Maipu"))
   }
 
+  test("S2 CSV round-trip: header + inferSchema recovers the table") {
+    val dir = Files.createTempDirectory("graft_csv_").toFile
+    dir.deleteOnExit()
+    val src = Tables(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    src.write.mode("overwrite").option("header", true).csv(dir.getPath)
+    val back = spark.read.option("header", true).option("inferSchema", true)
+      .csv(dir.getPath)
+    assert(back.count() === src.count())
+    assert(back.schema("c_custkey").dataType.typeName === "integer"
+      || back.schema("c_custkey").dataType.typeName === "long")
+    val a = src.orderBy("c_custkey").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.orderBy("c_custkey").collect().map(r => (r.getAs[Number](0).longValue(), r.getString(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("IngestionJob: one failing table does not abort the rest") {
     val dir = Files.createTempDirectory("graft_ing_").toFile
     dir.deleteOnExit()
