@@ -468,6 +468,15 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Deterministic train/val/test split (stable across runs/partitioning)
+    "q_split" -> ((s, dir) => {
+      Sampling.byModulo(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    }),
+
     // Streaming shape: event-time tumbling-window aggregate (batch-equiv)
     "q_stream_window" -> ((s, dir) => {
       StreamingOps.windowedAgg(t(s, dir, "events"))
@@ -857,6 +866,16 @@ object SparkEntry {
     "q_mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |         WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q_stream_window" ->
       """WITH e AS (

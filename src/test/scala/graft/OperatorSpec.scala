@@ -142,6 +142,26 @@ class OperatorSpec extends SparkSpec {
       ("b", 3L, 1L, 2L, 2.0, 6.0)))
   }
 
+  test("Sampling splits are deterministic, exhaustive, and disjoint") {
+    val df = (0L until 1000L).toDF("id")
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    for (split <- Seq(Sampling.byModulo(df, "id", cuts), Sampling.byHash(df, "id", cuts))) {
+      val counts = split.groupBy("split").count()
+        .as[(String, Long)].collect().toMap
+      assert(counts.values.sum === 1000L)
+      assert(counts.keySet === Set("train", "val", "test"))
+      assert(counts("train") > counts("val"))
+      // determinism: recomputing yields the identical assignment
+      val again = split.select("id", "split").except(
+        split.select("id", "split")).count()
+      assert(again === 0)
+    }
+    // modulo variant is exactly 800/100/100 on uniform ids
+    val m = Sampling.byModulo(df, "id", cuts).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
+  }
+
   test("Similarity.bruteForceTopK ranks by cosine") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
