@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
@@ -21,13 +21,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   */
 case class HyperplaneBuckets(child: Expression, dim: Int, bits: Int,
                              tables: Int, seed: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
   // [table*bits + bit][dim] pseudo-random direction components in [-0.5, 0.5)
   @transient private lazy val weights: Array[Array[Double]] =
+    HyperplaneBuckets.buildWeights(dim, bits, tables, seed)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+    new GenericArrayData(
+      HyperplaneBuckets.evalBuckets(arr, weights, dim, bits, tables))
+  }
+
+  /** Generated code delegates the loops to [[HyperplaneBuckets.evalBuckets]]
+    * (registered as a reference object along with the weights) — the
+    * win over CodegenFallback is staying inside the surrounding
+    * whole-stage-codegen stage (no InternalRow materialization per
+    * call), while the hot loop itself is already monomorphic JVM code. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("hpWeights", weights, "double[][]")
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.HyperplaneBuckets.evalBuckets(
+         |    $a.toFloatArray(), $w, $dim, $bits, $tables));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  /** Column API: per-table LSH bucket ids for an embedding column
+    * (table t uses base seed + t). */
+  def apply(v: Column, dim: Int, bits: Int, tables: Int, seed: Int): Column =
+    ColumnBridge.column(
+      new HyperplaneBuckets(ColumnBridge.expression(v), dim, bits, tables, seed))
+
+  def buildWeights(dim: Int, bits: Int, tables: Int, seed: Int): Array[Array[Double]] =
     Array.tabulate(tables * bits) { tb =>
       val t = tb / bits; val b = tb % bits
       Array.tabulate(dim) { j =>
@@ -36,8 +72,10 @@ case class HyperplaneBuckets(child: Expression, dim: Int, bits: Int,
       }
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+  /** Shared by interpreted eval and generated code (identical arithmetic
+    * order either path). */
+  def evalBuckets(arr: Array[Float], weights: Array[Array[Double]],
+                  dim: Int, bits: Int, tables: Int): Array[Int] = {
     val n = math.min(dim, arr.length)
     val out = new Array[Int](tables)
     var t = 0
@@ -55,18 +93,6 @@ case class HyperplaneBuckets(child: Expression, dim: Int, bits: Int,
       out(t) = bucket
       t += 1
     }
-    new GenericArrayData(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
-    copy(child = newChild)
-}
-
-object HyperplaneBuckets {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
-  /** Column API: per-table LSH bucket ids for an embedding column
-    * (table t uses base seed + t). */
-  def apply(v: Column, dim: Int, bits: Int, tables: Int, seed: Int): Column =
-    ColumnBridge.column(
-      new HyperplaneBuckets(ColumnBridge.expression(v), dim, bits, tables, seed))
 }

@@ -129,7 +129,7 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("label", col("node"))
+      .distinct().withColumn("label", col("node")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -143,11 +143,16 @@ object Dedup {
         .cache()
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)   // `changed` materialized `updated`
       labels = updated
       converged = changed == 0
       i += 1
     }
-    labels.select(col("node"), col("label").as("cluster"))
+    val out = labels.select(col("node"), col("label").as("cluster"))
+    // final labels stay cached until consumed; edges can go once the
+    // loop is done being planned against them
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
