@@ -445,10 +445,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Text 3: language-ID (n-gram profiles) + rolling fingerprint — no SQL oracle
+    // Text 3: language-ID by char-n-gram profile argmax (full oracle: the
+    // scoring is shared with the SQL via Text.defaultProfiles)
     "q_text_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        Text.langId(col("text")).as("predicted"),
+        Text.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Text 3b: rolling polynomial fingerprint — no SQL oracle
+    "q_text_rollingfp" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
         Text.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")
     }),
@@ -862,6 +869,20 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // argmax by (score, lang) via a sortable "NNlang" string — identical
+    // tie-break to the Spark side's struct array_max
+    "q_text_langid" -> {
+      val terms = Text.defaultProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+        val score = grams
+          .map(g => s"(CASE WHEN instr(text, '$g') > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"lpad(CAST(($score) AS VARCHAR), 2, '0') || '$lang'"
+      }
+      s"""SELECT doc_id, lang,
+         |  substr(greatest(${terms.mkString(",\n    ")}), 3) AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
