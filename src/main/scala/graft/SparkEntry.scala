@@ -166,13 +166,14 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
-    // W3: per-group KNN imputation (typed flatMapGroups) — no SQL oracle
+    // W3: per-group KNN imputation (typed flatMapGroups; oracle mirrors the
+    // k=3 inverse-distance weighting with (dist, id) tie-break in SQL)
     "q_w3_knn_impute" -> ((s, dir) => {
       Impute.knnImpute(
         eventsPrep(s, dir).withColumn("day", expr("s div 86400")),
         groupCol = "day", idCol = "event_id",
         featureCols = Seq("s"), valueCol = "v", k = 3)
-        .select("user_id", "event_id", "v_imputed")
+        .select(col("user_id"), col("event_id"), round(col("v_imputed"), 6).as("v_imputed"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -630,6 +631,25 @@ object SparkEntry {
          |LEFT JOIN mc ON b.user_id = mc.user_id AND b.coarse = mc.coarse
          |LEFT JOIN ma ON b.user_id = ma.user_id
          |ORDER BY b.user_id, b.event_id""".stripMargin,
+
+    "q_w3_knn_impute" ->
+      s"""WITH e AS (SELECT *, s // 86400 AS day FROM ($eventsPrepSql)),
+         |n AS (SELECT event_id, user_id, day, s FROM e WHERE v IS NULL),
+         |d AS (SELECT event_id AS did, day, s AS ds, v AS dv FROM e WHERE v IS NOT NULL),
+         |ranked AS (
+         |  SELECT n.event_id, d.dv, CAST(abs(n.s - d.ds) AS DOUBLE) AS dist,
+         |    row_number() OVER (PARTITION BY n.event_id
+         |                       ORDER BY abs(n.s - d.ds), d.did) AS rn
+         |  FROM n JOIN d ON n.day = d.day),
+         |imp AS (
+         |  SELECT event_id,
+         |    CASE WHEN COUNT(CASE WHEN dist = 0 THEN 1 END) > 0
+         |         THEN AVG(CASE WHEN dist = 0 THEN dv END)
+         |         ELSE SUM((1.0 / dist) * dv) / SUM(1.0 / dist) END AS v_imp
+         |  FROM ranked WHERE rn <= 3 GROUP BY event_id)
+         |SELECT e.user_id, e.event_id, ROUND(COALESCE(e.v, imp.v_imp), 6) AS v_imputed
+         |FROM e LEFT JOIN imp ON e.event_id = imp.event_id
+         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     "q_o1_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn

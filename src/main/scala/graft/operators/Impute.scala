@@ -42,9 +42,12 @@ object Impute {
 
     val imputed = prepared.groupByKey(r => r.getString(0))(Encoders.STRING)
       .flatMapGroups { (g: String, it: Iterator[Row]) =>
+        // sort by id: group iteration order is shuffle-dependent, and the
+        // stable top-k insertion breaks distance ties by donor order —
+        // sorting pins the tie-break to (distance, id), deterministically
         val rows = it.map(r => (r.getLong(1),
           r.getSeq[Double](2).toArray,
-          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toArray
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toArray.sortBy(_._1)
         // donor features/values as flat primitive arrays: the per-missing
         // scan below is O(donors·k) with zero allocation — groups of a few
         // thousand rows stay sub-ms instead of sorting a tuple array per
