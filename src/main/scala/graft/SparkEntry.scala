@@ -446,6 +446,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text 4: vocabulary token-id mapping (broadcast lookup, ordered rebuild)
+    "q_text_tokenids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val w = Window.orderBy(col("token"))
+      val vocab = docs.select(explode(Text.tokens(col("text"))).as("token"))
+        .distinct().withColumn("token_id", row_number().over(w))
+      Text.tokenIds(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
+    // Text 5: sequential sequence packing into fixed token budgets
+    "q_text_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+      Text.packSequences(docs, "doc_id", "n_tokens", budget = 2048, shardCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // Text 3: language-ID by char-n-gram profile argmax (full oracle: the
     // scoring is shared with the SQL via Text.defaultProfiles)
     "q_text_langid" -> ((s, dir) => {
@@ -889,6 +908,33 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokenids" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+        |ix AS (SELECT doc_id, w[pos] AS token, pos
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM d) q),
+        |vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY token) AS token_id
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE doc_id < 200)),
+        |j AS (SELECT ix.doc_id, ix.pos, COALESCE(v.token_id, -1) AS token_id
+        |      FROM ix LEFT JOIN vocab v ON ix.token = v.token)
+        |SELECT doc_id,
+        |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(prefix // 2048 AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // argmax by (score, lang) via a sortable "NNlang" string — identical
     // tie-break to the Spark side's struct array_max

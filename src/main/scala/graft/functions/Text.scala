@@ -62,6 +62,38 @@ object Text {
       .withColumn("punct_ratio", nPunct.cast("double") / length(t).cast("double"))
   }
 
+  /** Map whitespace tokens to vocabulary ids (OOV → `oovId`), keeping
+    * order: explode → broadcast-join the vocab → reassemble with an
+    * ordered collect. The vocab rides as a broadcast dim, so at 100 TB
+    * the corpus streams once with no shuffle for the lookup; the only
+    * shuffle is the per-doc reassembly. */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    exploded.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(-1)))
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          s => s.getField("token_id").cast("string"))).as("token_ids"))
+  }
+
+  /** Sequential sequence packing: assign each doc to a fixed-budget
+    * pack by the running token total within its shard —
+    * pack_id = floor(prefix_sum_before_this_doc / budget). One window
+    * pass per shard; sharding keeps the cumsum parallel at scale
+    * (a global order would serialize). */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    budget: Int, shardCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("_prefix", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("_prefix") / budget).cast("long"))
+      .drop("_prefix")
+  }
+
   /** Language-ID by character-n-gram profile scoring: score(text, L) =
     * Σ over text trigrams of weight(L, trigram); predicted language is
     * the argmax with lexicographic tie-break. Profiles are tiny →

@@ -142,6 +142,23 @@ class OperatorSpec extends SparkSpec {
       ("b", 3L, 1L, 2L, 2.0, 6.0)))
   }
 
+  test("Text.tokenIds maps tokens in order with OOV → -1") {
+    val docs = Seq((1L, "b a c a"), (2L, "zz b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("token", "token_id")
+    val got = graft.functions.Text.tokenIds(docs, "doc_id", "text", vocab)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "2 1 3 1", 2L -> "-1 2"))
+  }
+
+  test("Text.packSequences fills fixed budgets sequentially per shard") {
+    val docs = Seq((1L, "s", 100), (2L, "s", 100), (3L, "s", 100), (4L, "s", 100),
+      (5L, "t", 250)).toDF("doc_id", "shard", "n")
+    val got = graft.functions.Text.packSequences(docs, "doc_id", "n", budget = 250, shardCol = "shard")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // shard s prefixes: 0,100,200,300 → packs 0,0,0,1; shard t: prefix 0 → pack 0
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("Sampling splits are deterministic, exhaustive, and disjoint") {
     val df = (0L until 1000L).toDF("id")
     val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
