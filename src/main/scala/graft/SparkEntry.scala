@@ -344,6 +344,13 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Fixed-width histogram (single hash aggregate on the bucket index)
+    "q_histogram" -> ((s, dir) => {
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 120000.0, nBuckets = 24)
+        .orderBy("bucket")
+    }),
+
     // Data-quality profile: per-column null/distinct/min/max/mean, one pass
     "q_profile" -> ((s, dir) => {
       Profile.profile(t(s, dir, "lineitem"),
@@ -811,6 +818,15 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' AND CAST(year(o_orderdate) AS INT) = 1996
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT least(23, greatest(0,
+        |    CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT))) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  0.0 + bucket * 5000.0 AS lo_edge
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_profile" -> {
       def block(c: String) =

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Fixed-width histogram of a numeric column over [lo, hi): one
+    * hash aggregate on the bucket index (values outside the range
+    * clamp to the edge buckets). */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    val w = (hi - lo) / nBuckets
+    val bucket = least(lit(nBuckets - 1),
+      greatest(lit(0), floor((col(c) - lo) / w).cast("int")))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", lit(lo) + col("bucket") * w)
+  }
+
   def profile(df: DataFrame, cols: Seq[String],
               approxDistinct: Boolean = false): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
