@@ -121,6 +121,42 @@ class PipelineSpec extends SparkSpec {
     assert(filled.filter(col("Temperatura_Media_filled").isNull).count() === 0)
   }
 
+  test("IngestionJob orchestrates all three lifecycles to a sink (ref ingestion.py __main__)") {
+    // minimal fixtures for each extractor (shapes per FIXTURES.md)
+    val atenciones = Seq(
+      ("13", "RM", "Santiago", "SSM", "H", "Alta", 2020, 1,
+        AtencionesUrgencia.diagnosticos.head, 10L, 1L, 2L, 3L, 3L, 1L),
+      ("05", "V", "Valpo", "SSV", "H", "Alta", 2020, 1,
+        AtencionesUrgencia.diagnosticos.head, 10L, 1L, 2L, 3L, 3L, 1L))
+      .toDF("RegionCodigo", "RegionGlosa", "ComunaGlosa", "ServicioSaludGlosa",
+        "TipoUrgencia", "NivelComplejidad", "Anio", "SemanaEstadistica", "Causa",
+        "NumTotal", "NumMenor1Anio", "Num1a4Anios", "Num5a14Anios", "Num15a64Anios", "Num65oMas")
+    val comunas = Seq(("Santiago", 13, -33.45, -70.66))
+      .toDF("Comuna", "codregion", "lat_centroid", "lon_centroid")
+    val temps = Seq(("E1", -33.45, -70.66, "2020-01-01", 10.0), ("E1", -33.45, -70.66, "2020-01-02", 12.0))
+      .toDF("Codigo_Estacion", "Latitud", "Longitud", "FechaStr", "Temperatura_Media")
+      .withColumn("Fecha", to_date(col("FechaStr")))
+    val serie = TemperaturasRM.paso3Reconstruir(
+      TemperaturasRM.paso2Asignar(comunas, temps)
+        .select("Comuna", "Fecha", "Temperatura_Media"), "lineal")
+
+    val parv = Seq(("SANTIAGO", 2020, 100, "parvulario")).toDF("comuna", "ano", "matriculas", "tipo")
+    val edu = MatrizMovilidad.educacion(parv, parv, parv)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_orch_").toFile
+    dir.deleteOnExit()
+    val res = IngestionJob.saveTables(
+      Seq(
+        ("atenciones_urgencia", AtencionesUrgencia(atenciones)),
+        ("temperaturas_rm", serie),
+        ("educacion", edu)),
+      IngestionJob.parquetWriter(dir.getPath))
+    assert(res.values.forall(_.isRight), res)
+    assert(spark.read.parquet(s"${dir.getPath}/atenciones_urgencia").count() === 1)
+    assert(spark.read.parquet(s"${dir.getPath}/temperaturas_rm").count() === 2)
+    assert(spark.read.parquet(s"${dir.getPath}/educacion").count() === 1)
+  }
+
   test("MatrizMovilidad: full relational chain to row-stochastic flows") {
     val parv = Seq(("ALHUÉ", 2020, 10, "parvulario"), ("SANTIAGO", 2020, 100, "parvulario"))
       .toDF("comuna", "ano", "matriculas", "tipo")
