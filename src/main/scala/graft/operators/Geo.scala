@@ -39,6 +39,79 @@ object Geo {
   def mercatorToLat(y: Column): Column =
     (atan(exp(y / lit(6378137.0))) * 2 - lit(math.Pi / 2)) * lit(180.0 / math.Pi)
 
+  /** UTM zone 19S (EPSG:32719) forward/inverse — the other projection
+    * in the reference's CRS chain (`temperaturas_rm.py:114-117`
+    * reprojects to UTM 19S for centroid math, then back to WGS84).
+    * Closed-form Krüger series on the WGS84 ellipsoid (no PROJ
+    * dependency), accurate to well under 1 m inside the zone; pure
+    * Scala, exposed as deterministic UDF-style helpers (SURVEY §7
+    * risk 3 / §2.11: not profiled hot, so no Catalyst expression).
+    * Returns (easting, northing) meters. */
+  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  private val A = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val K0 = 0.9996
+  private val Lon0 = math.toRadians(-69.0)  // zone 19 central meridian
+  private val N_ = F / (2 - F)
+  private val AA = A / (1 + N_) * (1 + N_ * N_ / 4 + math.pow(N_, 4) / 64)
+  private val Alpha = Array(
+    N_ / 2 - 2.0 / 3 * N_ * N_ + 5.0 / 16 * math.pow(N_, 3),
+    13.0 / 48 * N_ * N_ - 3.0 / 5 * math.pow(N_, 3),
+    61.0 / 240 * math.pow(N_, 3))
+  private val Beta = Array(
+    N_ / 2 - 2.0 / 3 * N_ * N_ + 37.0 / 96 * math.pow(N_, 3),
+    N_ * N_ / 48 + 1.0 / 15 * math.pow(N_, 3),
+    17.0 / 480 * math.pow(N_, 3))
+
+  def utm19sForward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+    val lat = math.toRadians(latDeg)
+    val lon = math.toRadians(lonDeg) - Lon0
+    val e2 = F * (2 - F)
+    val e = math.sqrt(e2)
+    val t = math.sinh(atanh(math.sin(lat)) - e * atanh(e * math.sin(lat)))
+    val xiP = math.atan2(t, math.cos(lon))
+    val etaP = atanh(math.sin(lon) / math.sqrt(1 + t * t))
+    var xi = xiP; var eta = etaP
+    for (j <- 1 to 3) {
+      xi += Alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+      eta += Alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+    }
+    val easting = 500000.0 + K0 * AA * eta
+    val northing = 10000000.0 + K0 * AA * xi   // southern hemisphere offset
+    (easting, northing)
+  }
+
+  def utm19sInverse(easting: Double, northing: Double): (Double, Double) = {
+    val xi = (northing - 10000000.0) / (K0 * AA)
+    val eta = (easting - 500000.0) / (K0 * AA)
+    var xiP = xi; var etaP = eta
+    for (j <- 1 to 3) {
+      xiP -= Beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+      etaP -= Beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    }
+    val e = math.sqrt(F * (2 - F))
+    val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+    var lat = chi
+    for (_ <- 1 to 7) lat = fromConformal(chi, e, lat)
+    val lon = math.atan2(math.sinh(etaP), math.cos(xiP))
+    (math.toDegrees(lat), math.toDegrees(lon + Lon0))
+  }
+
+  /** One Newton-style step recovering geodetic latitude from conformal
+    * latitude `chi`: solve χ(φ) = chi. */
+  private def fromConformal(chi: Double, e: Double, lat0: Double): Double = {
+    val s = math.sin(lat0)
+    val t0 = math.sinh(atanh(s) - e * atanh(e * s))
+    val chi0 = math.atan(t0)
+    val dChiDLat = {
+      val h = 1e-7
+      val s1 = math.sin(lat0 + h)
+      val t1 = math.sinh(atanh(s1) - e * atanh(e * s1))
+      (math.atan(t1) - chi0) / h
+    }
+    lat0 + (chi - chi0) / dChiDLat
+  }
+
   /** Grid cell id for spatially-bucketed joins (the 100 TB path for the
     * NN join, SURVEY §7 risk 7): equi-join on cell + 8 neighbors
     * replaces the cross join once the right side outgrows broadcast. */

@@ -47,6 +47,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("UTM 19S forward/inverse round-trips RM coordinates to sub-mm") {
+    // Región Metropolitana box (the reference's working area)
+    val pts = Seq((-33.45, -70.66), (-34.28, -71.3), (-33.0, -70.4), (-33.51, -70.76))
+    pts.foreach { case (lat, lon) =>
+      val (e, n) = Geo.utm19sForward(lat, lon)
+      // zone-19S sanity: easting within the zone, northing in southern range
+      assert(e > 160000 && e < 840000, s"easting $e")
+      assert(n > 6000000 && n < 6500000, s"northing $n")
+      val (lat2, lon2) = Geo.utm19sInverse(e, n)
+      assert(math.abs(lat2 - lat) < 1e-8, s"lat $lat → $lat2")
+      assert(math.abs(lon2 - lon) < 1e-8, s"lon $lon → $lon2")
+    }
+    // scale at the central meridian is k0: 1° of northing at lon0 ≈ k0·meridian arc
+    val (_, n1) = Geo.utm19sForward(-33.0, -69.0)
+    val (_, n2) = Geo.utm19sForward(-34.0, -69.0)
+    val arc = n1 - n2  // ~110,900 m per degree at these latitudes
+    assert(arc > 110500 && arc < 111300, s"meridian arc $arc")
+  }
+
   test("Mercator → WGS84 closed form inverts known anchor points") {
     val df = Seq((0.0, 0.0), (111319.49079327357, 111325.1428663851))
       .toDF("x", "y")
