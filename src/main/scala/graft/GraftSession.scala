@@ -18,12 +18,14 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def apply(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
             appName: String = "graft"): SparkSession = configure(
-    SparkSession.builder().master(master).appName(appName)).getOrCreate()
+    SparkSession.builder().master(master).appName(appName)
+      // default only — configure() itself never touches it, so a caller's
+      // explicit shuffle.partitions (Bench/Verify's SPARK_GRAFT_CPUS) wins
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)).getOrCreate()
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new GraftExtensions)
-    .config("spark.sql.shuffle.partitions",
-      Runtime.getRuntime.availableProcessors.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

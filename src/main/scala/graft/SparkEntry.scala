@@ -372,11 +372,14 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // Dedup 2: n-gram (word-3-shingle) Jaccard via inverted-index join
+    // Dedup 2: n-gram (word-3-shingle) Jaccard via inverted-index join.
+    // maxBucket caps the hot-shingle bucket (stop-shingles appearing in
+    // >100 docs carry no signal and fan out quadratically at 100 TB);
+    // the DuckDB oracle applies the identical cap.
     "q_dedup_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", w = 3, threshold = 0.05)
+        "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -384,7 +387,7 @@ object SparkEntry {
     "q_dedup_cluster" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", w = 3, threshold = 0.05)
+        "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .orderBy("node")
     }),
@@ -453,12 +456,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Text 4: vocabulary token-id mapping (broadcast lookup, ordered rebuild)
+    // Text 4: vocabulary token-id mapping (broadcast lookup, ordered
+    // rebuild). Ids come from Text.buildVocab — partition-parallel
+    // sorted zipWithIndex, NOT a global un-partitioned window.
     "q_text_tokenids" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-      val w = Window.orderBy(col("token"))
-      val vocab = docs.select(explode(Text.tokens(col("text"))).as("token"))
-        .distinct().withColumn("token_id", row_number().over(w))
+      val vocab = Text.buildVocab(
+        docs.select(explode(Text.tokens(col("text"))).as("token")))
       Text.tokenIds(docs, "doc_id", "text", vocab)
         .orderBy("doc_id")
     }),
@@ -542,6 +546,23 @@ object SparkEntry {
 
   private def dsumSql(e: String) = Exact.sqlSum(e)
   private def davgSql(e: String) = Exact.sqlAvg(e)
+
+  /** Shared shingle-index CTE chain for the Jaccard-dedup oracles —
+    * mirrors `Dedup.shingleIndex` exactly: docs with <3 tokens produce
+    * no shingles, and shingles in more than 100 docs (stop-shingles)
+    * are dropped before sizes/intersections (maxBucket = 100). */
+  private val jaccardShingleCtes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
+      |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
+      |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |        FROM ix WHERE len(w) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+      |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_s1_scan_glob" ->
@@ -845,14 +866,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
-        |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix),
-        |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
+      s"""WITH RECURSIVE $jaccardShingleCtes,
         |pairs AS (
         |  SELECT doc_a, doc_b FROM inter
         |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
@@ -867,14 +881,7 @@ object SparkEntry {
         |FROM reach GROUP BY s ORDER BY node""".stripMargin,
 
     "q_dedup_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
-        |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix),
-        |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
+      s"""WITH $jaccardShingleCtes
         |SELECT doc_a, doc_b,
         |  CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
         |FROM inter

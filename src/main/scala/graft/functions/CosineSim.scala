@@ -25,6 +25,9 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // a null ELEMENT nulls the result even when the inputs are
+  // non-nullable, so nullability must not be inherited from the children
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -36,13 +36,16 @@ object Text {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
 
   /** Word w-shingles: ["a","b","c","d"], w=3 → ["a b c", "b c d"].
+    * Docs with fewer than `w` tokens produce NO shingles (standard
+    * n-gram semantics — no truncated tail shingle), matching the DuckDB
+    * oracle where out-of-range list indexing NULLs the concatenation.
     * Used by n-gram Jaccard and MinHash dedup. */
   def shingles(text: Column, w: Int): Column = {
     val toks = tokens(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
-      s => s.isNotNull && length(s) > 0)
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Quality-score feature pack: per-document length, token stats,
@@ -60,6 +63,28 @@ object Text {
         aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok)
       .withColumn("stopword_ratio", nStop / nTok)
       .withColumn("punct_ratio", nPunct.cast("double") / length(t).cast("double"))
+  }
+
+  /** Deterministic vocabulary ids (1-based in token sort order, i.e.
+    * `row_number() OVER (ORDER BY token)`) built partition-parallel:
+    * range-partition by token → sort within partitions → `zipWithIndex`.
+    * A global un-partitioned window would serialize every distinct
+    * token of a 100 TB corpus through one task; here the sort shuffles
+    * by range and the id is partition offset + local position —
+    * `zipWithIndex`'s one extra job only counts partition sizes. Ids
+    * depend only on the global sort order, not partition boundaries. */
+  def buildVocab(tokens: DataFrame, tokenCol: String = "token"): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(tokenCol).cast("string").as("token"))
+      .where(col("token").isNotNull)
+      .distinct()
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions("token")
+      .as[String].rdd
+      .zipWithIndex()
+      .map { case (tok, i) => (tok, i + 1L) }
+      .toDF("token", "token_id")
   }
 
   /** Map whitespace tokens to vocabulary ids (OOV → `oovId`), keeping

@@ -47,7 +47,9 @@ object Dedup {
     if (maxBucket <= 0) idx
     else {
       val hot = idx.groupBy("sh").count().filter(col("count") > maxBucket).select("sh")
-      idx.join(broadcast(hot), Seq("sh"), "left_anti")
+      // a USING join outputs the join key FIRST (even for left_anti), so
+      // re-pin the (doc, sh) order — callers rename positionally
+      idx.join(broadcast(hot), Seq("sh"), "left_anti").select("doc", "sh")
     }
   }
 
@@ -122,9 +124,11 @@ object Dedup {
     * smallest-label propagation: each round every node adopts the min
     * label in its neighborhood; converges in O(component diameter)
     * rounds (near-dup clusters are shallow — a handful of rounds).
-    * Each round is one shuffle; no driver-side graph. */
+    * Each round is one shuffle; no driver-side graph. Throws if labels
+    * have not converged after `maxIter` rounds — a silently-truncated
+    * propagation would return wrong (split) clusters. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 10): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
@@ -148,6 +152,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
     val out = labels.select(col("node"), col("label").as("cluster"))
     // final labels stay cached until consumed; edges can go once the
     // loop is done being planned against them

@@ -45,8 +45,12 @@ object Windows {
   /** W2 (ref `temperaturas_rm.py:192-222`): seasonal gap fill — a null
     * takes the group's seasonal-bucket median, else the group's coarse
     * bucket median, else the group's overall median. Implemented as
-    * three small aggregate tables broadcast-joined back (the reference
-    * loops comunas and recomputes medians per row).
+    * three aggregate tables joined back (the reference loops comunas
+    * and recomputes medians per row). The join strategy is left to the
+    * optimizer: the median tables are ∝ group-key cardinality, so a
+    * forced broadcast would OOM the driver at 100 TB with
+    * high-cardinality groups — when they ARE small, AQE picks the
+    * broadcast join at runtime anyway.
     *
     * Returns `df` + `<valueCol>_filled`.
     */
@@ -60,9 +64,9 @@ object Windows {
       .agg(median(v).as("_m_coarse"))
     val overall = base.groupBy(col(group)).agg(median(v).as("_m_all"))
     base
-      .join(broadcast(fine), Seq(group, "_fine"), "left")
-      .join(broadcast(coarse), Seq(group, "_coarse"), "left")
-      .join(broadcast(overall), Seq(group), "left")
+      .join(fine, Seq(group, "_fine"), "left")
+      .join(coarse, Seq(group, "_coarse"), "left")
+      .join(overall, Seq(group), "left")
       .withColumn(s"${valueCol}_filled",
         coalesce(v, col("_m_fine"), col("_m_coarse"), col("_m_all")))
       .drop("_fine", "_coarse", "_m_fine", "_m_coarse", "_m_all")

@@ -1,6 +1,7 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Reference pipeline 4 (ref `ingestion.py`, `Ingestion`): orchestrate
   * the extractors and bulk-load every resulting table into a database,
@@ -17,14 +18,17 @@ import org.apache.spark.sql.DataFrame
 object IngestionJob {
 
   /** Save each named table; returns per-table success/failure (error
-    * message), mirroring the reference's log-and-continue policy. */
+    * message), mirroring the reference's log-and-continue policy.
+    * Row counts ride the write itself via `Observation` metrics — each
+    * table is computed ONCE (a `df.count()` before the write would run
+    * the whole plan twice). */
   def saveTables(tables: Seq[(String, DataFrame)],
                  writer: (DataFrame, String) => Unit): Map[String, Either[String, Long]] =
     tables.map { case (name, df) =>
       name -> (try Right {
-        val n = df.count()
-        writer(df, name)
-        n
+        val obs = Observation(s"graft_save_$name")
+        writer(df.observe(obs, count(lit(1)).as("n_rows")), name)
+        obs.get("n_rows").asInstanceOf[Long]
       } catch { case e: Exception => Left(e.getMessage) })
     }.toMap
 

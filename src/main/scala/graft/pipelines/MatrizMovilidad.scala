@@ -86,12 +86,18 @@ object MatrizMovilidad {
       .select("año", "origen", "destino", "flujo", "flujo_norm")
   }
 
-  /** R3: presentation-time pivot of one year's flows to a dense matrix. */
-  def pivotYear(flujos: DataFrame, year: Int): DataFrame = {
-    val destinos = flujos.select("destino").distinct()
-      .orderBy("destino").collect().map(_.getString(0)).toSeq
+  /** R3: presentation-time pivot of one year's flows to a dense matrix.
+    * `destinos` is the explicit output-column list — the production
+    * path passes it (comuna lists are config, not data) so the plan is
+    * a single pass with zero driver-side collects. */
+  def pivotYear(flujos: DataFrame, year: Int, destinos: Seq[String]): DataFrame =
     flujos.filter(col("año") === year)
       .groupBy("origen").pivot("destino", destinos).agg(first(col("flujo_norm")))
       .orderBy("origen")
-  }
+
+  /** Convenience overload: derive the destino list from the data (one
+    * small distinct+collect — presentation-time only). */
+  def pivotYear(flujos: DataFrame, year: Int): DataFrame =
+    pivotYear(flujos, year, flujos.select("destino").distinct()
+      .orderBy("destino").collect().map(_.getString(0)).toSeq)
 }

@@ -106,6 +106,36 @@ class OperatorSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("Dedup.ngramJaccardPairs maxBucket drops hot stop-shingles, keeps column order") {
+    // "s1 s2 s3" is a stop-shingle present in ALL 4 docs; with
+    // maxBucket=3 it is dropped, so docs 3/4 (which share ONLY the
+    // stop-shingle) no longer pair, while 1/2 still match on their
+    // remaining shingles.
+    val docs = Seq(
+      (1L, "s1 s2 s3 a b c d"), (2L, "s1 s2 s3 a b c e"),
+      (3L, "s1 s2 s3 q r"), (4L, "s1 s2 s3 t u")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, threshold = 0.1, maxBucket = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)))
+    // uncapped: every doc pairs with every other through the stop-shingle
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, threshold = 0.1, maxBucket = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((3L, 4L)) && uncapped.contains((1L, 2L)))
+  }
+
+  test("Text.shingles: docs shorter than w produce no shingles") {
+    import graft.functions.Text
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq.empty)
+    assert(got(2L) === Seq("a b c"))
+    assert(got(3L) === Seq("a b c", "b c d"))
+  }
+
   test("Dedup.minhashLshPairs recalls an exact duplicate and verifies jaccard") {
     val base = "a b c d e f g h i j k l m n o p"
     val docs = Seq((1L, base), (2L, base), (3L, "z y x w v u t s r q p2 o2 n2 m2"))

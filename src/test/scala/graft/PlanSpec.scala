@@ -66,6 +66,33 @@ class PlanSpec extends SparkSpec {
     assert(grid === exact)
   }
 
+  test("vocab-id assignment has no global un-partitioned window") {
+    // Text.buildVocab replaces row_number() OVER (ORDER BY token) — a
+    // single-task global window — with range-partition + zipWithIndex;
+    // the tokenids plan must contain no Window operator at all
+    val plan = physicalPlan("q_text_tokenids")
+    assert(!plan.contains("Window"), plan.take(2000))
+    import spark.implicits._
+    // ids are still exactly row_number-over-token-order
+    val toks = Seq("b", "c", "a", "c", "b").toDF("token")
+    val got = graft.functions.Text.buildVocab(toks)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("seasonalFill join strategy is size-driven (no forced broadcast hints)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i % 7, i % 24, i % 5,
+      if (i % 11 == 0) None else Some(i.toDouble))).toDF("g", "fine", "coarse", "v")
+    val filled = graft.operators.Windows.seasonalFill(
+      df, "g", col("fine"), col("coarse"), "v")
+    // no ResolvedHint survives in the optimized plan — the optimizer is
+    // free to pick broadcast (small side) or shuffle join (large side)
+    val logical = filled.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("ResolvedHint"), logical.take(1500))
+    filled.collect()  // still executes correctly without the hints
+  }
+
   test("cosine_sim SQL function registered via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
