@@ -424,19 +424,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // Similarity 3: IVF coarse-quantizer ANN (1-probe) — no SQL oracle
+    // Similarity 3: IVF coarse-quantizer ANN (multi-probe) — no SQL
+    // oracle; recall@5 vs the exact baseline is asserted in PlanSpec
     "q_sim_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 5)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbes = 4)
         .orderBy("q_id", "rank")
     }),
 
-    // Similarity 2: LSH-bucketed ANN top-k (the scale path) — no SQL oracle
+    // Similarity 2: LSH-bucketed ANN top-k (the scale path) — no SQL
+    // oracle; recall@5 vs the exact baseline is asserted in PlanSpec.
+    // bits/tables sized for the synthetic embeddings (near-random, max
+    // pairwise cos ≈ 0.5): p ≈ (1−θ/π)^bits per table.
     "q_sim_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bucketedTopK(
         e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
-        dim = 64, k = 5, bits = 6, tables = 4)
+        dim = 64, k = 5, bits = 4, tables = 8)
         .orderBy("q_id", "rank")
     }),
 

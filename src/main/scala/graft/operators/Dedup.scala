@@ -129,9 +129,12 @@ object Dedup {
     * propagation would return wrong (split) clusters. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+    // symmetrize via explode, not union: a union's two branches would
+    // each re-evaluate the (possibly expensive) upstream pair plan
+    val edges = pairs.select(explode(array(
+      struct(col(aCol).as("src"), col(bCol).as("dst")),
+      struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select("e.src", "e.dst").distinct().cache()
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("label", col("node")).cache()
     var converged = false
@@ -166,8 +169,16 @@ object Dedup {
   /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
     * take the sign vector. Near-dups = pairs within `maxHamming` bits,
     * found by splitting the 64 bits into (maxHamming+1) bands — the
-    * pigeonhole guarantees matching pairs share an exact band. */
-  def simhash64(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * pigeonhole guarantees matching pairs share an exact band.
+    * Computed by the fused codegen [[graft.functions.SimHash64]]
+    * expression (one pass per row). */
+  def simhash64(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SimHash64(Text.tokens(textCol))
+
+  /** Reference implementation of [[simhash64]] as composed built-ins
+    * (64 interpreter-evaluated `aggregate` folds) — kept for the
+    * bit-for-bit equality spec against the fused expression. */
+  def simhash64Composed(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hashes = transform(Text.tokens(textCol), t => xxhash64(t))
     val bitSums = (0 until 64).map { bit =>
       aggregate(hashes, lit(0),

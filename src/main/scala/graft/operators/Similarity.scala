@@ -37,23 +37,28 @@ object Similarity {
 
   /** IVF-style ANN: a deterministic coarse quantizer (the first
     * `nCells` corpus vectors act as centroids — no trained model to
-    * ship) assigns every vector to its max-dot-product cell; a query
-    * searches only its own cell's posting list (1-probe; raise recall
-    * by probing more cells). At 100 TB the corpus is assigned once at
-    * ingest and stored partitioned by cell id, so a query touches one
-    * partition. */
+    * ship) assigns every corpus vector to its max-dot-product cell; a
+    * query searches its `nProbes` best cells' posting lists (classic
+    * IVF multi-probe: recall grows with probes, cost ∝ probes ×
+    * occupancy). At 100 TB the corpus is assigned once at ingest and
+    * stored partitioned by cell id, so a query touches `nProbes`
+    * partitions. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int, nCells: Int = 16): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+              nProbes: Int = 1): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    def assign(df: DataFrame, id: String, v: String): DataFrame =
+    def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_dot").desc, col("cent_id"))
       df.crossJoin(broadcast(cents))
         .withColumn("_dot", Vectors.dot(col(v), col("cent_v")))
-        .groupBy(col(id), col(v))
-        .agg(max(struct(col("_dot"), col("cent_id"))).as("_m"))
-        .select(col(id), col(v), col("_m.cent_id").as("cell"))
-    val c = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v")
-    val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= probes)
+        .select(col(id), col(v), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v", 1)
+    val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v", nProbes)
     val scored = q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(Vectors.cosine(col("q_v"), col("n_v")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

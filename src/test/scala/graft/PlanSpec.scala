@@ -100,6 +100,39 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(r - 0.6) < 1e-6)
   }
 
+  test("fused SimHash64 equals the composed 64-fold form bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(300)
+    val diff = docs.select(
+      graft.operators.Dedup.simhash64(col("text")).as("fused"),
+      graft.operators.Dedup.simhash64Composed(col("text")).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff === 0)
+    // edge cases: empty token list → 0, and the SQL registration works
+    val edge = spark.sql("SELECT simhash64(array()) AS a, " +
+      "simhash64(CAST(NULL AS ARRAY<STRING>)) AS b").collect()(0)
+    assert(edge.getLong(0) === 0L && edge.isNullAt(1))
+  }
+
+  test("ANN recall@5 vs exact top-k ground truth (LSH and IVF)") {
+    import spark.implicits._
+    // self-oracle: q_sim_topk is the exact brute-force baseline; the
+    // approximate variants must recover most of its neighbor sets
+    def sets(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf)
+        .select(col("q_id"), col("n_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = sets("q_sim_topk")
+    for (approx <- Seq("q_sim_ann", "q_sim_ivf")) {
+      val got = sets(approx)
+      val recalls = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.6, s"$approx mean recall@5 = $mean < 0.6")
+    }
+  }
+
   test("fused CosineSim equals the composed zip_with/aggregate form bit-for-bit") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(200)

@@ -103,4 +103,23 @@ class SourceSpec extends SparkSpec {
     assert(res("t2") === Right(1L))
     assert(spark.read.parquet(s"${dir.getPath}/t2").count() === 1)
   }
+
+  test("S8 jdbcWriter round-trips through an embedded JDBC database (Derby)") {
+    // Derby ships on the Spark classpath (Hive metastore dependency), so
+    // the exact production write path — format("jdbc"), overwrite mode,
+    // batched inserts — runs against a real database here.
+    val dbPath = Files.createTempDirectory("graft_derby_").resolve("db")
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val src = Seq((1L, "ene", 10.5), (2L, "feb", -3.25), (3L, "mar", 0.0))
+      .toDF("id", "mes", "valor")
+    IngestionJob.jdbcWriter(url, "app", "app", dbSchema = "APP")(src, "temperaturas")
+    // overwrite-mode replace: second write of different rows wins
+    val src2 = Seq((7L, "jul", 7.75), (8L, "ago", 8.5)).toDF("id", "mes", "valor")
+    IngestionJob.jdbcWriter(url, "app", "app", dbSchema = "APP")(src2, "temperaturas")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "APP.temperaturas").load()
+      .select("id", "mes", "valor").as[(Long, String, Double)]
+      .collect().toSet
+    assert(back === Set((7L, "jul", 7.75), (8L, "ago", 8.5)))
+  }
 }
