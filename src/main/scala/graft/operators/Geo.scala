@@ -112,6 +112,69 @@ object Geo {
     lat0 + (chi - chi0) / dChiDLat
   }
 
+  /** Area-weighted (shoelace) centroid of a multi-ring polygon given in
+    * parallel coordinate arrays with ring-start offsets — the planar
+    * formula geopandas' `.centroid` applies after `to_crs`. Shapefile
+    * ring orientation (outer clockwise, holes counter-clockwise) gives
+    * holes the opposite signed area, so one signed accumulation over
+    * all rings subtracts them. Degenerate geometry (zero area: points,
+    * lines) falls back to the vertex mean. */
+  def planarCentroid(xs: Seq[Double], ys: Seq[Double], parts: Seq[Int]): (Double, Double) = {
+    val n = xs.length
+    require(n > 0, "empty geometry has no centroid")
+    var a2 = 0.0; var cx = 0.0; var cy = 0.0
+    val bounds = (if (parts.isEmpty) Seq(0) else parts) :+ n
+    var r = 0
+    while (r < bounds.length - 1) {
+      val s = bounds(r); val e = bounds(r + 1)
+      var i = s
+      while (i < e) {
+        val j = if (i + 1 < e) i + 1 else s   // close the ring
+        val cross = xs(i) * ys(j) - xs(j) * ys(i)
+        a2 += cross
+        cx += (xs(i) + xs(j)) * cross
+        cy += (ys(i) + ys(j)) * cross
+        i += 1
+      }
+      r += 1
+    }
+    if (math.abs(a2) < 1e-12) (xs.sum / n, ys.sum / n)
+    else (cx / (3 * a2), cy / (3 * a2))
+  }
+
+  /** The reference's full centroid CRS chain
+    * (`temperaturas_rm.py:114-119`): WGS84 vertices → UTM 19S forward →
+    * planar shoelace centroid in meters → UTM 19S inverse → (lat, lon)
+    * degrees. Input arrays are shapefile order: xs = longitudes,
+    * ys = latitudes. */
+  def utm19sCentroid(lons: Seq[Double], lats: Seq[Double],
+                     parts: Seq[Int]): (Double, Double) = {
+    val n = lons.length
+    val es = new Array[Double](n)
+    val ns = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val (e, nn) = utm19sForward(lats(i), lons(i))
+      es(i) = e; ns(i) = nn
+      i += 1
+    }
+    val (ce, cn) = planarCentroid(es.toSeq, ns.toSeq, parts)
+    utm19sInverse(ce, cn)
+  }
+
+  case class CentroidLL(lat: Double, lon: Double)
+
+  /** [[utm19sCentroid]] as a DataFrame-level function over the
+    * [[graft.sources.ShpDataSource]] geometry arrays — returns a
+    * struct(lat, lon) column. A UDF (SURVEY §2.11 preference order) is
+    * right here: per-polygon trigonometric projection of a few hundred
+    * vertices on a small dimension table, not a hot scan path. */
+  def utm19sCentroidUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((xs: Seq[Double], ys: Seq[Double], parts: Seq[Int]) => {
+      val (lat, lon) = utm19sCentroid(xs, ys, parts)
+      CentroidLL(lat, lon)
+    })
+
   /** Grid cell id for spatially-bucketed joins (the 100 TB path for the
     * NN join, SURVEY §7 risk 7): equi-join on cell + 8 neighbors
     * replaces the cross join once the right side outgrows broadcast. */

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.operators.{Geo, Nearest, Regression, Relational}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,19 @@ object MatrizMovilidad {
       .filter(col("año") =!= 2025)                        // P7
       .withColumn("comuna", lower(trim(col("Comuna"))))
       .select("comuna", "año", "poblacion")
+
+  /** nb c16: the population wide table read straight from the source
+    * `.xlsx` (ref `pd.read_excel(..., sheet_name='poblacion_total')`)
+    * via [[graft.sources.XlsxDataSource]]; year columns are detected by
+    * name (the sheet is comuna × years 2002–2035). */
+  def poblacionFromXlsx(spark: SparkSession, path: String,
+                        sheet: String = "poblacion_total"): DataFrame = {
+    val wide = spark.read.format("graft.sources.XlsxDataSource")
+      .option("sheet", sheet).load(path)
+    val yearCols = wide.columns.filter(_.matches("\\d{4}")).toSeq
+    require(yearCols.nonEmpty, s"no year columns found in sheet '$sheet'")
+    poblacion(wide, yearCols)
+  }
 
   /** nb c20-c28: 3-way left join on (comuna, año), filter año ≥ 2020,
     * derived attractor trabajadores+matriculas (null-propagating like

@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.operators.{Geo, Impute, Nearest, Windows}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reference pipeline 2 (ref `temperaturas_rm.py`,
@@ -33,6 +33,29 @@ object TemperaturasRM {
       .filter(col("Temperatura_Media").isNotNull)  // ref :74
       .withColumn("Fecha", make_date(col("Año"), col("Mes"), col("Dias")))  // ref :92-96
       .drop("porDia", "valores")
+
+  /** paso 2 input from the RAW shapefile pair (ref
+    * `temperaturas_rm.py:106,114-119`: `gpd.read_file(comunas.shp)` →
+    * `to_crs(32719)` → `.centroid` → `to_crs(4326)`): `.shp` polygon
+    * records ([[graft.sources.ShpDataSource]]) joined positionally
+    * (gid) with the `.dbf` attribute rows ([[graft.sources
+    * .DbfDataSource]]), centroids via the UTM 19S chain. Output is
+    * exactly [[paso2Asignar]]'s `comunas` schema:
+    * (Comuna, codregion, lat_centroid, lon_centroid). */
+  def comunasFromShapefile(spark: SparkSession, shpPath: String, dbfPath: String,
+                           comunaCol: String = "Comuna",
+                           regionCol: String = "codregion"): DataFrame = {
+    val geom = spark.read.format("graft.sources.ShpDataSource").load(shpPath)
+      .select(col("gid"),
+        Geo.utm19sCentroidUdf(col("xs"), col("ys"), col("parts")).as("_c"))
+      .select(col("gid"), col("_c.lat").as("lat_centroid"),
+        col("_c.lon").as("lon_centroid"))
+    val attrs = spark.read.format("graft.sources.DbfDataSource")
+      .option("gid", "true").load(dbfPath)
+    attrs.join(geom, col("_gid") === col("gid"))
+      .select(col(comunaCol).as("Comuna"), col(regionCol).as("codregion"),
+        col("lat_centroid"), col("lon_centroid"))
+  }
 
   /** paso 2 (ref `temperaturas_rm.py:103-155`): comuna centroids (from
     * the pre-extracted shapefile table, Web-Mercator → WGS84 if needed)

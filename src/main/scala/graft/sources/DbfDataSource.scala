@@ -20,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * header, 32-byte field descriptors, then fixed-length ASCII records.
   *
   * Usage: `spark.read.format("graft.sources.DbfDataSource").load(path)`.
+  * Option `gid=true` prepends a `_gid` int column with the 1-based
+  * record number — the positional key that joins these attribute rows
+  * 1:1 with the same shapefile's `.shp` geometry records
+  * ([[ShpDataSource]]).
   *
   * Type mapping: C→string, N/F→double (int-scaled N→long), L→boolean,
-  * D→date (yyyymmdd). Deleted records (0x2A flag) are skipped.
+  * D→date (yyyymmdd). Deleted records (0x2A flag) are skipped (but
+  * still advance `_gid`, keeping alignment with the .shp side).
   *
   * Scale note: one InputPartition per file — DBF files are small
   * attribute sidecars; a directory of them parallelizes per-file. The
@@ -30,8 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * prune as usual); for repeated analytics convert to parquet once.
   */
 class DbfDataSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DbfUtil.schemaOf(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = DbfUtil.schemaOf(options.get("path"))
+    if (options.getBoolean("gid", false))
+      StructType(StructField("_gid", IntegerType, nullable = false) +: base.fields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -72,14 +81,18 @@ private[sources] class DbfReaderFactory(schema: StructType)
 private[sources] class DbfReader(path: String, schema: StructType)
   extends PartitionReader[InternalRow] {
   private val (fields, records) = DbfUtil.readAll(path)
+  private val withGid = schema.nonEmpty && schema.head.name == "_gid"
+  private val dataSchema = if (withGid) StructType(schema.fields.drop(1)) else schema
   private var idx = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (idx < records.length) {
-      val rec = records(idx); idx += 1
+      val rec = records(idx); idx += 1   // idx is now the 1-based gid
       if (rec(0) != '*') {   // 0x2A marks a deleted record
-        current = DbfUtil.parseRecord(rec, fields, schema)
+        val values = DbfUtil.parseValues(rec, fields, dataSchema)
+        current = InternalRow.fromSeq(
+          if (withGid) Integer.valueOf(idx) +: values else values)
         return true
       }
     }
@@ -139,8 +152,8 @@ private[sources] object DbfUtil {
     (fields, recs)
   }
 
-  def parseRecord(rec: Array[Byte], fields: Seq[DbfField], schema: StructType): InternalRow = {
-    val values = fields.zip(schema.fields).map { case (f, sf) =>
+  def parseValues(rec: Array[Byte], fields: Seq[DbfField], schema: StructType): Seq[Any] =
+    fields.zip(schema.fields).map { case (f, sf) =>
       val raw = new String(rec, f.offset, f.len, StandardCharsets.US_ASCII).trim
       if (raw.isEmpty) null
       else sf.dataType match {
@@ -154,8 +167,6 @@ private[sources] object DbfUtil {
         case _ => UTF8String.fromString(raw)
       }
     }
-    InternalRow.fromSeq(values)
-  }
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
