@@ -137,21 +137,25 @@ object Dedup {
       .select("e.src", "e.dst").distinct().cache()
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("label", col("node")).cache()
+    var cached = labels   // the handle actually holding the round's cache
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
+      // one aggregation over (own label ∪ neighbors' labels) per round —
+      // a single shuffle on node. The pre-round label rides along as
+      // `old`, so the convergence probe needs no join back onto labels.
+      val updated = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("src").as("node"), col("label"), lit(false).as("own"))
+        .union(labels.withColumn("own", lit(true)))
+        .groupBy("node").agg(
+          min(col("label")).as("label"),
+          min(when(col("own"), col("label"))).as("old"))
         .cache()
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)   // `changed` materialized `updated`
-      labels = updated
+      val changed = updated.filter(col("label") < col("old")).limit(1).count()
+      cached.unpersist(blocking = false)   // `changed` materialized `updated`
+      cached = updated
+      labels = updated.select("node", "label")
       converged = changed == 0
       i += 1
     }
