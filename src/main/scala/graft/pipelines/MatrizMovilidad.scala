@@ -52,6 +52,19 @@ object MatrizMovilidad {
       .withColumn("comuna", lower(trim(col("Comuna"))))
       .select("comuna", "año", "poblacion")
 
+  /** nb c8: the wide labor table read straight from the legacy source
+    * `.xls` (ref `pd.read_excel('datos_laborales.xls')`) via
+    * [[graft.sources.XlsDataSource]]; year columns detected by
+    * (trimmed) 4-digit name, exactly the set the melt consumes. */
+  def laboralesFromXls(spark: SparkSession, path: String,
+                       sheet: Option[String] = None): DataFrame = {
+    val rdr = spark.read.format("graft.sources.XlsDataSource")
+    val wide = sheet.fold(rdr)(s => rdr.option("sheet", s)).load(path)
+    val yearCols = wide.columns.filter(_.trim.matches("\\d{4}")).toSeq
+    require(yearCols.nonEmpty, s"no year columns found in $path")
+    laborales(wide, yearCols)
+  }
+
   /** nb c16: the population wide table read straight from the source
     * `.xlsx` (ref `pd.read_excel(..., sheet_name='poblacion_total')`)
     * via [[graft.sources.XlsxDataSource]]; year columns are detected by
