@@ -34,7 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * parsed output is immediately columnar downstream (project/filter
   * prune as usual); for repeated analytics convert to parquet once.
   */
-class DbfDataSource extends TableProvider {
+class DbfDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "dbf"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = DbfUtil.schemaOf(options.get("path"))
     if (options.getBoolean("gid", false))

@@ -45,7 +45,9 @@ import scala.collection.mutable
   * admin-boundary shapefiles are small dims (the reference's is 346
   * comunas); convert to parquet once for repeated analytics.
   */
-class ShpDataSource extends TableProvider {
+class ShpDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "shp"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ShpUtil.schema
 

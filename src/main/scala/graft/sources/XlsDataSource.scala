@@ -34,7 +34,9 @@ import scala.collection.mutable
   * Typing and scale notes are shared with the XLSX side ([[SheetGrid]];
   * one InputPartition per file — these are small dimension inputs).
   */
-class XlsDataSource extends TableProvider {
+class XlsDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "xls"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SheetGrid.schemaOf(
       XlsUtil.parse(options.get("path"), Option(options.get("sheet"))),

@@ -42,7 +42,9 @@ import scala.collection.mutable
   *
   * `.xls` (BIFF8, S3) has its own reader: [[XlsDataSource]].
   */
-class XlsxDataSource extends TableProvider {
+class XlsxDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "xlsx"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     XlsxUtil.schemaOf(options.get("path"), Option(options.get("sheet")),
       header = options.getBoolean("header", true))

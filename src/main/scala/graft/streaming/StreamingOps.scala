@@ -54,6 +54,42 @@ object StreamingOps {
     * real deployments add a state timeout for user churn. */
   private[graft] case class SessionState(lastSec: Long, sessions: Long, events: Long)
 
+  /** Streaming exact dedup: drop rows whose content fingerprint was
+    * already seen, keyed per fingerprint with `flatMapGroupsWithState`
+    * — the streaming face of [[graft.operators.Dedup.applyExact]] for
+    * continuous ingestion. First arrival of a fingerprint passes
+    * through; every later duplicate is swallowed. State per key is one
+    * boolean, so memory is ∝ distinct contents; production deployments
+    * put a TTL on it (or run against a compacted batch fingerprint
+    * table) to bound state over unbounded streams.
+    *
+    * Built-in `dropDuplicates` covers the windowed case; this keeps the
+    * kept-row choice (arrival order) and the fingerprint function
+    * (md5-of-normalized-text) identical to the batch operator so batch
+    * and stream agree row-for-row. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        graft.functions.Text.fingerprintMd5(col(textCol)).as("fp"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            // first micro-batch with this fingerprint: keep the min-id
+            // row (deterministic, matches Dedup.exact's keep rule)
+            val kept = rows.minBy(_._1)
+            state.update(true)
+            Iterator((kept._1, kept._2))
+          }
+      }
+      .toDF(idCol, textCol)
+  }
+
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

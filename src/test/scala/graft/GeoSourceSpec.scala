@@ -91,8 +91,8 @@ class GeoSourceSpec extends SparkSpec {
     assert(df.schema("2002").dataType.typeName === "double")
     val rows = df.orderBy("Comuna").as[(String, Double, Double)].collect().toSeq
     assert(rows === Seq(("Maipu", 120000.0, 121000.0), ("Santiago ", 200000.0, 201500.0)))
-    // default sheet = first in workbook order
-    val first = spark.read.format("graft.sources.XlsxDataSource").load(p)
+    // default sheet = first in workbook order; short name via DataSourceRegister
+    val first = spark.read.format("xlsx").load(p)
     assert(first.schema.fieldNames.toSeq === Seq("x", "y"))
   }
 
@@ -157,7 +157,7 @@ class GeoSourceSpec extends SparkSpec {
     dir.deleteOnExit()
     val p = s"${dir.getPath}/comunas.shp"
     writeShp(p, Seq(square(-70.65, -33.45, 0.05), square(-71.62, -33.05, 0.04)))
-    val df = spark.read.format("graft.sources.ShpDataSource").load(p)
+    val df = spark.read.format("shp").load(p)   // short name via DataSourceRegister
     assert(df.schema.fieldNames.toSeq ===
       Seq("gid", "shape_type", "num_points", "parts", "xs", "ys"))
     val rows = df.orderBy("gid")

@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     assert(n === expected)  // doubled input, deduped back to the original count
   }
 
+  test("streaming dedupExact keeps first arrival per content, matches batch applyExact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),   // dup of 1
+      (3L, "JUMPS over"), (4L, "jumps over"),                     // dup after normalize
+      (5L, "unique content here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdx_").toFile
+    dir.deleteOnExit()
+    docs.coalesce(1).write.mode("overwrite").parquet(dir.getPath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getPath)
+    val q = StreamingOps.dedupExact(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("sdx_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sdx_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Dedup.applyExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(1L, 3L, 5L))
+  }
+
   test("sessionize runs on the event stream shape (batch check)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))

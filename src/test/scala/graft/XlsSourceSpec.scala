@@ -196,7 +196,7 @@ class XlsSourceSpec extends SparkSpec {
       (0, 0, "Unidad territorial"), (0, 1, "tasa"), (0, 2, "total"),
       (1, 0, "Santiago"), (1, 1, 3.25), (1, 2, 2002),
       (2, 0, "Ñuñoa"), (2, 1, -1.5), (2, 2, 120))))
-    val df = spark.read.format("graft.sources.XlsDataSource").load(p)
+    val df = spark.read.format("xls").load(p)   // short name via DataSourceRegister
     assert(df.schema.fieldNames.toSeq === Seq("Unidad territorial", "tasa", "total"))
     assert(df.schema("tasa").dataType.typeName === "double")
     assert(df.schema("total").dataType.typeName === "double")
