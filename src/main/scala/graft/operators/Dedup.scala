@@ -80,10 +80,11 @@ object Dedup {
     * recall, never precision). Output: (doc_a, doc_b, jaccard).
     *
     * The distinct-shingle array is materialized ONCE per doc and reused
-    * by both the 16 minhash folds and the verification stage —
-    * higher-order array functions are interpreter-evaluated, so
-    * recomputing the shingle expression per hash multiplies plan and
-    * eval cost ~numHashes×. */
+    * by both the signature and verification stages; signatures come
+    * from the fused [[graft.functions.MinHashSigs]] codegen expression
+    * (one pass over the shingles for all hashes — the composed
+    * `array_min(transform(...))`-per-hash form walks the array
+    * numHashes× through the interpreter). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
@@ -93,9 +94,7 @@ object Dedup {
       col(idCol).as("doc"),
       array_distinct(Text.shingles(col(textCol), w)).as("sh"))
     val sigs = shingled.select(col("doc"), col("sh"),
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
-      }: _*).as("sig"))
+      graft.functions.MinHashSigs(col("sh"), numHashes).as("sig"))
     // band key = (band index, hash of the band's slice of the signature)
     val banded = sigs.select(
       col("doc"),

@@ -133,6 +133,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fused MinHashSigs equals the composed array_min/transform form bit-for-bit") {
+    import spark.implicits._
+    val shingled = Tables(spark, sf, "documents").limit(300)
+      .select(array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+    val composed = array((0 until 16).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+    }: _*)
+    val diff = shingled.select(
+      graft.functions.MinHashSigs(col("sh"), 16).as("fused"), composed.as("c"))
+      .filter(not(col("fused") <=> col("c"))).count()
+    assert(diff === 0)
+    // empty shingle set (doc shorter than w) → all-null signature, both forms
+    val empty = Seq("a b").toDF("text")
+      .select(array_distinct(graft.functions.Text.shingles(col("text"), 3)).as("sh"))
+      .select(graft.functions.MinHashSigs(col("sh"), 4).as("fused"), composed.as("c"))
+    val row = empty.collect()(0)
+    assert(row.getSeq[Any](0) === Seq(null, null, null, null))
+  }
+
   test("fused CosineSim equals the composed zip_with/aggregate form bit-for-bit") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(200)
