@@ -408,11 +408,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup 5: embedding cosine near-dup in LSH buckets — no SQL oracle
+    // Dedup 5: embedding cosine near-dup in LSH buckets — no SQL
+    // oracle; recall vs the exact pair set is asserted in PlanSpec.
+    // bits/tables sized like q_sim_ann for the near-random synthetic
+    // vectors (real near-dup corpora have cos≈0.9+ pairs and keep
+    // recall at far fewer probes).
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDup(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000),
-        "vec_id", "embedding", dim = 64, threshold = 0.35)
+        "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 4, tables = 8)
         .orderBy("id_a", "id_b")
     }),
 

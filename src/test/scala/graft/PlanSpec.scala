@@ -133,6 +133,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("MinHash-LSH and embedding-LSH dedup recall vs their exact pair sets") {
+    import spark.implicits._
+    // MinHash candidates vs the full inverted-index Jaccard pair set
+    val docs = Tables(spark, sf, "documents")
+    val exactPairs = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.05)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshPairs = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", w = 3,
+        numHashes = 16, bands = 8, threshold = 0.05)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.subsetOf(exactPairs))   // exact-verify ⇒ precision 1
+    val mhRecall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(mhRecall >= 0.7, s"minhash recall = $mhRecall < 0.7")
+
+    // embedding-LSH near-dup vs brute-force cosine pairs ≥ threshold
+    val e = Tables(spark, sf, "embeddings").filter(col("vec_id") < 500)
+    val truth = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.Vectors.cosine(col("va"), col("vb")) >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val near = graft.operators.Dedup
+      .embeddingNearDup(e, "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 4, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(near.subsetOf(truth))
+    val emRecall = if (truth.isEmpty) 1.0
+      else near.intersect(truth).size.toDouble / truth.size
+    assert(emRecall >= 0.6, s"embedding near-dup recall = $emRecall < 0.6")
+  }
+
   test("fused MinHashSigs equals the composed array_min/transform form bit-for-bit") {
     import spark.implicits._
     val shingled = Tables(spark, sf, "documents").limit(300)
