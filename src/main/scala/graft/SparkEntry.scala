@@ -477,6 +477,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text 4b: frequency-ordered vocabulary build (most-common-first
+    // ids, the real-tokenizer scheme) — full oracle: the deterministic
+    // (n DESC, token) order is row_number-expressible in SQL
+    "q_text_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      Text.buildVocabByFreq(
+        docs.select(explode(Text.tokens(col("text"))).as("token")))
+        .orderBy("token_id")
+    }),
+
     // Text 5: sequential sequence packing into fixed token budgets
     "q_text_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -955,6 +965,14 @@ object SparkEntry {
         |SELECT doc_id,
         |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents WHERE doc_id < 200),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        |FROM c ORDER BY token_id""".stripMargin,
 
     "q_text_pack" ->
       """WITH d AS (

@@ -87,6 +87,26 @@ object Text {
       .toDF("token", "token_id")
   }
 
+  /** Frequency-ordered vocabulary with counts — ids 1..V assigned
+    * most-frequent-first (ties broken by token order), the id scheme
+    * real tokenizers use. Same partition-parallel pattern as
+    * [[buildVocab]]: range-partition on the (count desc, token) sort
+    * key, sort within partitions, `zipWithIndex`. Output:
+    * (token, n, token_id). */
+  def buildVocabByFreq(tokens: DataFrame, tokenCol: String = "token"): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(tokenCol).cast("string").as("token"))
+      .where(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .repartitionByRange(col("n").desc, col("token"))
+      .sortWithinPartitions(col("n").desc, col("token"))
+      .as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((tok, n), i) => (tok, n, i + 1L) }
+      .toDF("token", "n", "token_id")
+  }
+
   /** Map whitespace tokens to vocabulary ids (OOV → `oovId`), keeping
     * order: explode → broadcast-join the vocab → reassemble with an
     * ordered collect. The vocab rides as a broadcast dim, so at 100 TB

@@ -36,6 +36,32 @@ object Dedup {
     docs.join(exact(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Incremental exact dedup for continuous ingestion: drop new docs
+    * whose fingerprint already exists in the `ledger` (the persisted
+    * fingerprint set of everything ingested so far), then dedup the
+    * batch internally. Returns (kept rows, updated ledger).
+    *
+    * Scale design: the ledger is fingerprints ONLY — md5 strings, not
+    * documents — so the anti-join shuffles ~32 bytes/row of history (or
+    * nothing at all if the ledger table is bucketed by `fp` and the
+    * batch is repartitioned to match); the historical corpus is never
+    * rescanned. This is the batch face of
+    * [[graft.streaming.StreamingOps.dedupExact]]. */
+  def applyExactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                            ledger: DataFrame): DataFrame = {
+    val withFp = newDocs.withColumn("_fp", Text.fingerprintMd5(col(textCol)))
+    val fresh = withFp.join(ledger.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+    fresh.join(
+      fresh.groupBy("_fp").agg(min(col(idCol)).as(idCol)).select(idCol),
+      Seq(idCol), "left_semi")
+      .drop("_fp")
+  }
+
+  /** The fingerprint ledger rows contributed by a batch — union onto
+    * (or append into) the persisted ledger after a successful write. */
+  def ledgerOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(Text.fingerprintMd5(col(textCol)).as("fp")).distinct()
+
   /** Distinct word-w-shingles per doc, exploded to an inverted-index
     * shape (doc_id, shingle). `maxBucket` drops shingles appearing in
     * more than that many docs — stop-shingles generate quadratic join

@@ -136,6 +136,33 @@ class OperatorSpec extends SparkSpec {
     assert(got(3L) === Seq("a b c", "b c d"))
   }
 
+  test("Dedup.applyExactIncremental drops ledger-known and in-batch duplicates") {
+    val ledger = Dedup.ledgerOf(Seq((0L, "seen before")).toDF("doc_id", "text"), "text")
+    val batch = Seq(
+      (10L, "seen before"),          // in the ledger → dropped
+      (11L, "brand new"), (12L, "brand new"),   // in-batch dup → keep min id
+      (13L, "also new")).toDF("doc_id", "text")
+    val kept = Dedup.applyExactIncremental(batch, "doc_id", "text", ledger)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+    // ledger grows by the batch's distinct new fingerprints
+    val updated = ledger.union(Dedup.ledgerOf(batch, "text")).distinct()
+    assert(updated.count() === 3)   // seen before, brand new, also new
+    val kept2 = Dedup.applyExactIncremental(
+      Seq((20L, "also new"), (21L, "newest")).toDF("doc_id", "text"),
+      "doc_id", "text", updated)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(21L))
+  }
+
+  test("Text.buildVocabByFreq: most-frequent-first ids with token tie-break") {
+    import graft.functions.Text
+    val toks = Seq("b", "a", "b", "c", "a", "b").toDF("token")
+    val got = Text.buildVocabByFreq(toks)
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(got === Seq(("b", 3L, 1L), ("a", 2L, 2L), ("c", 1L, 3L)))
+  }
+
   test("Dedup.minhashLshPairs recalls an exact duplicate and verifies jaccard") {
     val base = "a b c d e f g h i j k l m n o p"
     val docs = Seq((1L, base), (2L, base), (3L, "z y x w v u t s r q p2 o2 n2 m2"))
