@@ -344,6 +344,59 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery — "lineitems under 20%
+    // of their part's average quantity" — expressed as the per-part
+    // aggregate + join Catalyst would decorrelate to anyway
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_size") < 15)
+        .select("p_partkey")
+      val avgQty = li.groupBy(col("l_partkey"))
+        .agg(Exact.davg(col("l_quantity")).as("aq"))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(round(Exact.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+    }),
+
+    // Ranking-function pack: dense_rank / percent_rank / cume_dist / ntile
+    "q_w_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("l_suppkey", "drank", "l_orderkey", "l_linenumber")
+    }),
+
+    // U-suite: INTERSECT / EXCEPT set operations
+    "q_u2_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey").distinct()
+      val c96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey").distinct()
+      c95.intersect(c96).select(lit("both").as("tag"), col("o_custkey"))
+        .unionByName(c95.except(c96).select(lit("only95").as("tag"), col("o_custkey")))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // F-suite: string scalar pack
+    "q_f_strings" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        upper(col("p_brand")).as("brand_uc"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+        length(col("p_name")).as("name_len"),
+        reverse(col("p_brand")).as("brand_rev"))
+        .orderBy("p_partkey")
+    }),
+
     // Fixed-width histogram (single hash aggregate on the bucket index)
     "q_histogram" -> ((s, dir) => {
       Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
@@ -859,6 +912,47 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA' AND CAST(year(o_orderdate) AS INT) = 1996
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH aq AS (SELECT l_partkey, ${davgSql("l_quantity")} AS aq
+         |            FROM lineitem GROUP BY l_partkey)
+         |SELECT ROUND(${dsumSql("l_extendedprice")} / 7.0, 6) AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN aq USING (l_partkey)
+         |WHERE p_brand = 'Brand#1' AND p_size < 15 AND l_quantity < 0.2 * aq""".stripMargin,
+
+    "q_w_ranks" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(dense_rank() OVER w AS INT) AS drank,
+        |  ROUND(percent_rank() OVER w, 6) AS prank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM lineitem WHERE l_suppkey <= 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, drank, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_u2_setops" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE CAST(year(o_orderdate) AS INT) = 1995),
+        |c96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE CAST(year(o_orderdate) AS INT) = 1996)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+        |UNION ALL
+        |SELECT 'only95' AS tag, o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_f_strings" ->
+      """SELECT p_partkey,
+        |  substr(p_name, 1, 8) AS name8,
+        |  upper(p_brand) AS brand_uc,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (
