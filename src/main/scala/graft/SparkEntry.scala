@@ -81,6 +81,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A8: exact interpolated percentiles (quartiles) per group — both
+    // engines use linear interpolation (SQL percentile_cont semantics)
+    "q_a8_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // A4: null-count data-quality metric
     "q_a4_nullcount" -> ((s, dir) => {
       eventsPrep(s, dir).groupBy("event_type")
@@ -659,6 +671,14 @@ object SparkEntry {
     "q_a2_median" ->
       """SELECT l_returnflag, ROUND(median(l_quantity), 6) AS med_qty,
         |  ROUND(median(l_extendedprice), 6) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_a8_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a4_nullcount" ->

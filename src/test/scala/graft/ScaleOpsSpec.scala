@@ -151,4 +151,22 @@ class ScaleOpsSpec extends SparkSpec {
       assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("sketch aggregates: HLL++ count-distinct and approx percentile within error bounds") {
+    import spark.implicits._
+    // the 100 TB path for distinct counts / quantiles: fixed-size
+    // sketches with map-side partial merge instead of exact shuffles
+    val li = Tables(spark, sf, "lineitem")
+    val (approx, exact) = li.agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e"))
+      .as[(Long, Long)].head()
+    val rel = math.abs(approx - exact).toDouble / exact
+    assert(rel <= 0.05, s"HLL++ rel error $rel > 5% ($approx vs $exact)")
+    val (ap, ep) = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5)").as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(ap - ep) / ep <= 0.05, s"approx_percentile off: $ap vs $ep")
+  }
 }
