@@ -608,6 +608,31 @@ object SparkEntry {
         .orderBy("hour_start", "event_type")
     }),
 
+    // Streaming shape: sliding (overlapping) windows — each event in
+    // windowLen/slide = 2 windows; batch-equiv oracle fans out with a
+    // constant unnest
+    "q_stream_sliding" -> ((s, dir) => {
+      StreamingOps.slidingAgg(t(s, dir, "events"))
+        .select(unix_timestamp(col("window_start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Grouping sets: non-hierarchical set list — NOT expressible as
+    // rollup or cube ((flag,status), (status), ())
+    "q_gsets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("m"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("m"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Sessionization: gap-based sessions per user
     "q_sessionize" -> ((s, dir) => {
       Windows.sessionize(eventsPrep(s, dir), "user_id", col("s"), gapSeconds = 1800)
@@ -1137,6 +1162,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY (s // 3600) * 3600, event_type
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type, value FROM events),
+        |x AS (
+        |  SELECT ((s // 3600) - k) * 3600 AS win_start, event_type, value
+        |  FROM e CROSS JOIN unnest([0, 1]) AS t(k))
+        |SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_gsets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("l_quantity")} AS m
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, s FROM ($eventsPrepSql)),

@@ -40,6 +40,21 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window counts+sums per event_type: each event lands in
+    * `windowLen / slide` overlapping windows. Same batch/stream duality
+    * as [[windowedAgg]]; at scale the fan-out factor is the window
+    * ratio, applied before the single (window, key) shuffle. */
+  def slidingAgg(events: DataFrame, windowLen: String = "2 hours",
+                 slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol())
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Read the events parquet as a (bounded) stream — used by tests to
     * drive the streaming operators synchronously via the memory sink. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

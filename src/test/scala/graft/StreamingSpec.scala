@@ -28,6 +28,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("slidingAgg: streaming result == batch result (overlapping windows)") {
+    val batch = StreamingOps.slidingAgg(Tables(spark, sf, "events"))
+      .agg(sum("n"), count(lit(1))).collect()(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    val q = StreamingOps.slidingAgg(StreamingOps.readEventStream(spark, dir.getPath))
+      .writeStream.outputMode("complete").format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("slide_out").agg(sum("n"), count(lit(1))).collect()(0)
+    assert(streamed === batch)
+    // every event lands in exactly windowLen/slide = 2 windows
+    val total = Tables(spark, sf, "events").count()
+    assert(batch.getLong(0) === 2 * total)
+  }
+
   test("stateful sessionCounts (mapGroupsWithState) matches batch sessionize") {
     import spark.implicits._
     // batch truth
