@@ -633,6 +633,19 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Native session windows: one row per (user, gap-closed session) —
+    // oracle = the lag/cumsum sessionization grouped per session
+    "q_session_window" -> ((s, dir) => {
+      // ts floored to whole seconds so the SQL oracle (integer-second
+      // lag/cumsum sessionization) sees identical gaps
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("(ts div 1000000000) * 1000000000"))
+      StreamingOps.sessionWindowAgg(ev)
+        .select(unix_timestamp(col("session_start")).as("session_start"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Sessionization: gap-based sessions per user
     "q_sessionize" -> ((s, dir) => {
       Windows.sessionize(eventsPrep(s, dir), "user_id", col("s"), gapSeconds = 1800)
@@ -1181,6 +1194,27 @@ object SparkEntry {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // session_window ends are EXCLUSIVE: an event exactly `gap` after
+    // the previous one opens a NEW session → `>= 1800`, not `> 1800`
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, s, value,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |m AS (
+        |  SELECT user_id, s, value,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT CAST(MIN(s) AS BIGINT) AS session_start, user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, s FROM ($eventsPrepSql)),

@@ -55,6 +55,22 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native event-time session windows: per-key sessions close after
+    * `gap` of inactivity (`session_window` merges state incrementally —
+    * the streaming-correct form of [[graft.operators.Windows
+    * .sessionize]]'s batch lag/cumsum). Emits one row per closed
+    * session: (user_id, session_start, n, sum_value). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol())
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+
   /** Read the events parquet as a (bounded) stream — used by tests to
     * drive the streaming operators synchronously via the memory sink. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
