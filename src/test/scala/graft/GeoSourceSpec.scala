@@ -96,6 +96,40 @@ class GeoSourceSpec extends SparkSpec {
     assert(first.schema.fieldNames.toSeq === Seq("x", "y"))
   }
 
+  test("S4 XLSX cell types: inlineStr, formula-string, and boolean cells") {
+    val dir = Files.createTempDirectory("graft_xlsx3_").toFile
+    dir.deleteOnExit()
+    val p = s"${dir.getPath}/tipos.xlsx"
+    // hand-built sheet exercising cell types the fixture writer doesn't emit
+    val zos = new ZipOutputStream(new FileOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns="$ns"
+         | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="h" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships
+        | xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>col_a</t></is></c>
+         |  <c r="B1" t="inlineStr"><is><t>col_b</t></is></c>
+         |  <c r="C1" t="inlineStr"><is><t>col_c</t></is></c></row>
+         |<row r="2"><c r="A2" t="inlineStr"><is><t>hola mundo</t></is></c>
+         |  <c r="B2" t="str"><v>formula result</v></c>
+         |  <c r="C2" t="b"><v>1</v></c></row>
+         |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.schema.fieldNames.toSeq === Seq("col_a", "col_b", "col_c"))
+    val row = df.as[(String, String, String)].head()
+    assert(row === (("hola mundo", "formula result", "true")))
+  }
+
   test("S4→R1 pipeline: MatrizMovilidad.poblacion fed straight from the .xlsx") {
     val dir = Files.createTempDirectory("graft_xlsx2_").toFile
     dir.deleteOnExit()

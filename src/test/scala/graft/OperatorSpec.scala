@@ -155,6 +155,31 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Text.rollingFingerprint matches a driver-side reference fold (golden)") {
+    import graft.functions.Text
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference implementation of the documented semantics:
+    // h ← (h·31 + (xxhash64(token) mod M)) mod M, M = 2^57−13
+    val M = (1L << 57) - 13
+    def pmod(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+    def ref(text: String): Long =
+      text.split(" ", -1).foldLeft(0L) { (acc, tok) =>
+        val h = pmod(XXH64.hashUTF8String(UTF8String.fromString(tok), 42L), M)
+        pmod(acc * 31L + h, M)
+      }
+    val texts = Seq("the quick brown fox", "the quick brown fox", "fox brown quick the", "")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Text.rollingFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"text '$t'")
+    }
+    assert(got(0L) === got(1L))      // deterministic
+    assert(got(0L) !== got(2L))      // order-sensitive (unlike a bag hash)
+  }
+
   test("Text.buildVocabByFreq: most-frequent-first ids with token tie-break") {
     import graft.functions.Text
     val toks = Seq("b", "a", "b", "c", "a", "b").toDF("token")
