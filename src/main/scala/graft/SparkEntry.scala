@@ -524,6 +524,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text 1b: pretraining text cleaning (NFC + case/control/whitespace
+    // normalization) — full oracle via DuckDB nfc_normalize
+    "q_text_clean" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.clean(col("text")).as("clean_text"))
+        .withColumn("fp", md5(col("clean_text")))
+        .orderBy("doc_id")
+    }),
+
     // Text 2: content fingerprint (md5 of normalized text)
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1103,6 +1112,17 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // explicit whitespace class (identical in Java and RE2);
+    // [[:cntrl:]] (RE2) ≡ \p{Cntrl} (Java) for the remaining controls
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[ \t\n\f\r]+', ' ', 'g'), '[[:cntrl:]]', '', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text, md5(clean_text) AS fp
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_tokenids" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),

@@ -26,6 +26,18 @@ object Text {
     * case/whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
+  /** Pretraining text cleaning: unicode NFC composition
+    * ([[NfcNormalize]] — so "e+◌́" and "é" dedup/tokenize identically),
+    * lowercase, whitespace runs (space/tab/newline/formfeed/CR — an
+    * explicit class, identical in Java and RE2 regex dialects) collapsed
+    * to one space, remaining control characters stripped, trim. The
+    * canonical first stage before fingerprinting/shingling a raw
+    * crawled corpus; pure expressions, runs at scan speed. */
+  def clean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(NfcNormalize(text)), "[ \\t\\n\\f\\r]+", " "),
+      "\\p{Cntrl}", ""))
+
   /** Rolling (polynomial) fingerprint over whitespace tokens:
     * h ← (h·31 + xxhash64(token)) mod 2^57−13, folded left-to-right
     * (ordered `aggregate` keeps it deterministic). The modulus keeps

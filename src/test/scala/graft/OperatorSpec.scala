@@ -155,6 +155,27 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Text.clean: NFC composition, whitespace collapse, control strip") {
+    import graft.functions.Text
+    val decomposed = "cafe\u0301  RICO"          // e + combining acute
+    val rows = Seq(
+      (1L, decomposed),
+      (2L, "a\u0001b\tc\nde"),                  // \u0001 stripped; \t\n collapse
+      (3L, "  caf\u00e9 rico "),                  // already-NFC
+      (4L, "plain text")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.clean(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "caf\u00e9 rico")
+    assert(rows(2L) === "ab c de")
+    assert(rows(3L) === "caf\u00e9 rico")
+    assert(rows(1L) === rows(3L))        // composed == decomposed after clean
+    assert(rows(4L) === "plain text")
+    // SQL registration: decomposed in -> composed out
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").as[String].head()
+    assert(viaSql === "caf\u00e9")
+  }
+
   test("Text.rollingFingerprint matches a driver-side reference fold (golden)") {
     import graft.functions.Text
     import org.apache.spark.sql.catalyst.expressions.XXH64
