@@ -93,6 +93,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A9: second-moment statistics (sample var/stddev/covar/corr) with
+    // the decimal-exact centered-sum recipe shared with the OLS oracle
+    "q_a9_stats" -> ((s, dir) => {
+      Profile.stats2(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"),
+        xOffset = 25.0, yOffset = 35000.0)
+        .orderBy("l_returnflag")
+    }),
+
     // A4: null-count data-quality metric
     "q_a4_nullcount" -> ((s, dir) => {
       eventsPrep(s, dir).groupBy("event_type")
@@ -719,6 +728,35 @@ object SparkEntry {
       """SELECT l_returnflag, ROUND(median(l_quantity), 6) AS med_qty,
         |  ROUND(median(l_extendedprice), 6) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same staging as the Spark side: exact decimal centered sums →
+    // double at fixed points → identical final expressions
+    "q_a9_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice - 35000.0 AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(19,6))
+        |           * CAST(l_quantity - 25.0 AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice - 35000.0 AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice - 35000.0 AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice - 35000.0 AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, n_rows,
+        |    CAST(n_rows AS DOUBLE) AS n,
+        |    CAST(n_rows AS DOUBLE) * sxx - sx * sx AS dxx,
+        |    CAST(n_rows AS DOUBLE) * syy - sy * sy AS dyy,
+        |    CAST(n_rows AS DOUBLE) * sxy - sx * sy AS dxy
+        |  FROM a)
+        |SELECT l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+        |  ROUND(dxx / (n * (n - 1)), 6) AS var_x,
+        |  ROUND(sqrt(dxx / (n * (n - 1))), 6) AS std_x,
+        |  ROUND(dxy / (n * (n - 1)), 6) AS covar_xy,
+        |  ROUND(dxy / sqrt(dxx * dyy), 6) AS corr_xy
+        |FROM b ORDER BY l_returnflag""".stripMargin,
 
     "q_a8_percentiles" ->
       """SELECT l_returnflag,

@@ -17,6 +17,47 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Per-group second-moment statistics — sample variance/stddev of
+    * `x`, sample covariance and Pearson correlation of `(x, y)` —
+    * computed engine-reproducibly (DuckDB-oracle parity) the same way
+    * [[Regression.olsPredict]] is:
+    *
+    *  - inputs are centered by constant offsets (variance/covariance/
+    *    correlation are shift-invariant) so the n·Σxx − (Σx)² form
+    *    loses no digits to cancellation and is immune to one-sided FMA
+    *    contraction;
+    *  - the centered sums accumulate in fixed-scale decimal (exact,
+    *    order-independent), and every engine computes the identical
+    *    double expression over those exact sums;
+    *  - outputs are rounded to 6 dp.
+    *
+    * One hash aggregate, map-side combined — the streaming-merge
+    * `stddev`/`corr` builtins are order-dependent in the last ulps,
+    * which is exactly what a 100 TB re-partitioning must not change. */
+  def stats2(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+             xOffset: Double, yOffset: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 6)
+    val xc = (x - xOffset).cast(dec)
+    val yc = (y - yOffset).cast(dec)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(xc).as("sx_d"), sum(yc).as("sy_d"),
+      sum(xc * xc).as("sxx_d"), sum(yc * yc).as("syy_d"),
+      sum(xc * yc).as("sxy_d"))
+    val n = col("n_rows").cast("double")
+    val sx = col("sx_d").cast("double")
+    val sy = col("sy_d").cast("double")
+    val dxx = n * col("sxx_d").cast("double") - sx * sx
+    val dyy = n * col("syy_d").cast("double") - sy * sy
+    val dxy = n * col("sxy_d").cast("double") - sx * sy
+    val m = n * (n - 1)
+    agg.select(groupCols.map(col) :+ col("n_rows") :+
+      round(dxx / m, 6).as("var_x") :+
+      round(sqrt(dxx / m), 6).as("std_x") :+
+      round(dxy / m, 6).as("covar_xy") :+
+      round(dxy / sqrt(dxx * dyy), 6).as("corr_xy"): _*)
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash aggregate on the bucket index (values outside the range
     * clamp to the edge buckets). */
