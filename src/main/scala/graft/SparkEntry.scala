@@ -570,6 +570,20 @@ object SparkEntry {
         .orderBy("token_id")
     }),
 
+    // Text 4c: heavy-hitter tokens via the Space-Saving sketch
+    // aggregate (custom TypedImperativeAggregate, map-side combined).
+    // capacity >= vocabulary here, so the sketch is EXACT and
+    // oracle-checkable; at 100 TB it degrades gracefully to counts
+    // within n/capacity with guaranteed presence of true heavy hitters
+    "q_text_topk" -> ((s, dir) => {
+      import graft.functions.TopKSketch
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .agg(TopKSketch(col("token"), k = 20, capacity = 4096).as("sk"))
+        .select(inline(col("sk")))
+        .orderBy(col("count").desc, col("value"))
+    }),
+
     // Text 5: sequential sequence packing into fixed token budgets
     "q_text_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1175,6 +1189,12 @@ object SparkEntry {
         |SELECT doc_id,
         |  string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM t GROUP BY token)
+        |SELECT token AS value, count FROM c
+        |ORDER BY count DESC, value LIMIT 20""".stripMargin,
 
     "q_text_vocab" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token

@@ -152,6 +152,34 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {
+    import spark.implicits._
+    import graft.functions.TopKSketch
+    // Zipf-ish stream: token i appears 2000/i times, i = 1..40
+    val rows = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"tok$i"))
+    val n = rows.length
+    val df = spark.createDataset(new scala.util.Random(42).shuffle(rows)).toDF("t")
+      .repartition(7)   // forces the partial-buffer merge path
+    val exact = df.groupBy("t").count().as[(String, Long)].collect().toMap
+    // capacity >= distinct → exact, regardless of partitioning
+    val full = df.agg(TopKSketch(col("t"), k = 40, capacity = 64).as("sk"))
+      .select(inline(col("sk"))).as[(String, Long)].collect()
+    assert(full.toMap === exact)
+    // tight capacity: counts are upper bounds within n/capacity, and
+    // every true heavy hitter (freq > n/capacity) is present
+    val cap = 16
+    val sketched = df.agg(TopKSketch(col("t"), k = 10, capacity = cap).as("sk"))
+      .select(inline(col("sk"))).as[(String, Long)].collect().toMap
+    val bound = n.toDouble / cap
+    sketched.foreach { case (tok, c) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(c >= truth && c <= truth + 2 * bound, s"$tok: $c vs $truth (bound $bound)")
+    }
+    exact.filter(_._2 > 2 * bound).keys.foreach { hh =>
+      assert(sketched.contains(hh), s"heavy hitter $hh missing")
+    }
+  }
+
   test("sketch aggregates: HLL++ count-distinct and approx percentile within error bounds") {
     import spark.implicits._
     // the 100 TB path for distinct counts / quantiles: fixed-size
