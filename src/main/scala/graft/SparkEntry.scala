@@ -381,6 +381,24 @@ object SparkEntry {
         .agg(round(Exact.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
     }),
 
+    // TPC-H Q18 shape: large-order customers — IN over an aggregated
+    // subquery, planned as a semi-join against the grouped lineitem
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders")
+        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Ranking-function pack: dense_rank / percent_rank / cume_dist / ntile
     "q_w_ranks" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1040,6 +1058,19 @@ object SparkEntry {
          |JOIN part ON l_partkey = p_partkey
          |JOIN aq USING (l_partkey)
          |WHERE p_brand = 'Brand#1' AND p_size < 15 AND l_quantity < 0.2 * aq""".stripMargin,
+
+    "q_tpch_q18" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+         |  ${dsumSql("l_quantity")} AS total_qty
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 150)
+         |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 20""".stripMargin,
 
     "q_w_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -249,6 +249,24 @@ class GeoSourceSpec extends SparkSpec {
     assert(pairs === Set(("Santiago", "A")))
   }
 
+  test("source error paths: wrong sheet lists alternatives, non-shapefile rejected") {
+    val dir = Files.createTempDirectory("graft_neg_").toFile
+    dir.deleteOnExit()
+    val xp = s"${dir.getPath}/wb.xlsx"
+    writeXlsx(xp, Seq("hoja_real" -> Seq(Seq("a"), Seq("x"))))
+    val e1 = intercept[Exception] {
+      spark.read.format("xlsx").option("sheet", "no_existe").load(xp)
+    }
+    assert(e1.getMessage.contains("no_existe") && e1.getMessage.contains("hoja_real"))
+    val bad = s"${dir.getPath}/not_a.shp"
+    Files.write(Paths.get(bad), "definitely not a shapefile".getBytes)
+    val e2 = intercept[Exception] {
+      spark.read.format("shp").load(bad).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("shapefile") ||
+      Option(e2.getCause).exists(_.getMessage.toLowerCase.contains("shapefile")))
+  }
+
   /** Same fixture writer as SourceSpec's (duplicated locally to keep
     * specs self-contained). */
   private def writeDbf(path: String, fields: Seq[(String, Char, Int, Int)],

@@ -93,6 +93,27 @@ class PlanSpec extends SparkSpec {
     filled.collect()  // still executes correctly without the hints
   }
 
+  test("pure-SQL client parity: spark.sql over temp views equals the DataFrame plan") {
+    import spark.implicits._
+    for (t <- Seq("lineitem", "orders", "customer", "supplier", "nation", "region"))
+      Tables(spark, sf, t).createOrReplaceTempView(t)
+    val viaSql = spark.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    val viaDf = SparkEntry.queries("q_tpch_q5")(spark, sf)
+      .as[(String, Double)].collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("cosine_sim SQL function registered via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
