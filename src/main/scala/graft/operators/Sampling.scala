@@ -30,4 +30,24 @@ object Sampling {
              salt: Long = 42L): DataFrame =
     df.withColumn("split",
       splitColumn(pmod(xxhash64(col(idCol), lit(salt)), lit(100)).cast("int"), cuts))
+
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * (0..999999, a pure function of the id) falls under the stratum's
+    * rate — downsample over-represented strata (the classic
+    * language/source rebalancing pass of a pretraining mix) with
+    * run/partitioning/engine-stable membership, unlike `sampleBy`.
+    * Strata missing from `rates` keep `defaultRate`. A row kept at
+    * rate r stays kept at any rate ≥ r (nested samples — raising a
+    * stratum's rate only ADDS rows, an audit-friendly property random
+    * samplers lack). */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 1.0,
+                 salt: Long = 7L): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(1000000L))
+    val threshold = rates.foldLeft(lit(defaultRate * 1000000L)) {
+      case (rest, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(rate * 1000000L)).otherwise(rest)
+    }
+    df.filter(bucket < threshold)
+  }
 }

@@ -282,6 +282,27 @@ class OperatorSpec extends SparkSpec {
     assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("Sampling.stratified: deterministic, rate-accurate, nested across rates") {
+    val df = (1L to 10000L).map(i => (i, if (i % 3 == 0) "en" else "es"))
+      .toDF("id", "lang")
+    val rates = Map("es" -> 0.25, "en" -> 1.0)
+    val s1 = Sampling.stratified(df, "lang", "id", rates)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.stratified(df.repartition(13), "lang", "id", rates)
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2)                       // partitioning-independent
+    val en = df.filter(col("lang") === "en").count()
+    assert(s1.count(_ % 3 == 0) === en)     // rate 1.0 keeps everything
+    val esKept = s1.size - en
+    val esTotal = df.count() - en
+    val rate = esKept.toDouble / esTotal
+    assert(math.abs(rate - 0.25) < 0.02, s"es rate $rate")
+    // nested: raising a rate only adds rows
+    val bigger = Sampling.stratified(df, "lang", "id", Map("es" -> 0.5, "en" -> 1.0))
+      .select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(bigger))
+  }
+
   test("Similarity.bruteForceTopK ranks by cosine") {
     val vs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
