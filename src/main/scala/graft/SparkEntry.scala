@@ -641,6 +641,18 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: frame sampling — one binary payload fans out to n
+    // frame rows BEFORE any shuffle (stub codec; plumbing real).
+    // Oracle on the deterministic frame count + byte lengths.
+    "q_mm_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", "source"), n = 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_payload")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Deterministic train/val/test split (stable across runs/partitioning)
     "q_split" -> ((s, dir) => {
       Sampling.byModulo(t(s, dir, "documents"), "doc_id",
@@ -1265,6 +1277,16 @@ object SparkEntry {
     "q_mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // frame boundaries are pure integer math on the payload length:
+    // frame i of k covers bytes [len*i/k, len*(i+1)/k)
+    "q_mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST((len * (i + 1)) // 4 - (len * i) // 4 AS INT) AS frame_len
+        |FROM d CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_split" ->
       """WITH s AS (
