@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -14,10 +15,19 @@ object Bench {
     // first measured query isn't charged ~7 s of one-time startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.all.foreach(n => graft.Tables(spark, sfDir, n).count())
+    // Per-query median of `reps` runs: single-shot timing on this class of VM
+    // swings up to 10x on identical code, which poisons round-over-round
+    // comparison. The measured action is a noop-format write (full row
+    // materialization through the sink API) rather than count(), which lets
+    // Catalyst prune column work on projection-shaped queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

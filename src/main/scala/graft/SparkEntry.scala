@@ -146,12 +146,16 @@ object SparkEntry {
     }),
 
     // J2: nearest-neighbor join (argmin over cross join, rank-1 window)
+    // Quantized packed-long argmin (acctbal is 2-dp money → cent ticks
+    // preserve the ordering exactly); the whole argmin runs as a
+    // primitive HashAggregate — no sort, no struct comparator. Oracle
+    // ranks by the same CAST(round(dist*100) AS BIGINT) ticks.
     "q_j2_nearest" -> ((s, dir) => {
-      Nearest.nearestJoin(
+      Nearest.nearestJoinQuantized(
         t(s, dir, "customer").select("c_custkey", "c_acctbal"),
         t(s, dir, "supplier").select("s_suppkey", "s_acctbal"),
         dist = abs(col("c_acctbal") - col("s_acctbal")),
-        leftKey = Seq("c_custkey"), tieBreak = Seq(col("s_suppkey")))
+        rightKey = "s_suppkey", invQuantum = 100)
         .select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
         .orderBy("c_custkey")
     }),
@@ -634,10 +638,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Multimodal: full stubbed decode features — no SQL oracle
+    // Multimodal: full decode features. Payloads here are octet-stream
+    // text, so the deterministic stub fires — and since round 4 its
+    // checksum is a codepoint fold the DuckDB oracle reproduces, making
+    // all five columns hash-checked (density rounded to 6 dp on both
+    // sides: it's an exact integer ratio, rounding only normalizes
+    // formatting).
     "q_mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
+        .withColumn("density", round(col("density"), 6))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: REAL ImageIO decode end-to-end — synthesize PNGs whose
+    // dimensions are a pure function of the id, decode them back with
+    // javax.imageio, and let the oracle predict the dimensions
+    // arithmetically. Encode+decode both run partition-parallel.
+    "q_mm_decode" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.syntheticPngMedia(
+          t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id",
+          id => 16 + (id % 32).toInt, id => 16 + (id % 16).toInt))
+        .select(col("media_id"), col("width"), col("height"))
         .orderBy("media_id")
     }),
 
@@ -660,6 +683,17 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split")
+    }),
+
+    // Deterministic stratified rebalance: downsample the over-represented
+    // 'en' stratum (keep 30%) and trim 'zh' (keep 80%) by a transparent
+    // multiplicative-hash bucket — membership is a pure function of the
+    // id, so the oracle reproduces the exact kept set.
+    "q_split_stratified" -> ((s, dir) => {
+      Sampling.stratifiedByModulo(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.3, "zh" -> 0.8))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }),
 
     // Streaming shape: event-time tumbling-window aggregate (batch-equiv)
@@ -837,11 +871,16 @@ object SparkEntry {
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,
 
+    // cent-tick ranking mirrors nearestJoinQuantized(invQuantum=100):
+    // quantization is exact for 2-dp money, and makes the argmin
+    // engine-independent (raw double ordering of a*b-c*d-style diffs
+    // is FP-representation-dependent; integer ticks are not)
     "q_j2_nearest" ->
       """WITH x AS (
         |  SELECT c_custkey, s_suppkey, abs(c_acctbal - s_acctbal) AS dist,
         |    row_number() OVER (PARTITION BY c_custkey
-        |      ORDER BY abs(c_acctbal - s_acctbal), s_suppkey) AS rn
+        |      ORDER BY CAST(round(abs(c_acctbal - s_acctbal) * 100) AS BIGINT),
+        |               s_suppkey) AS rn
         |  FROM customer CROSS JOIN supplier)
         |SELECT c_custkey, s_suppkey AS nearest_supp, dist
         |FROM x WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
@@ -1274,9 +1313,54 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // same Rabin–Karp fold as graft.functions.RollingFp: left-to-right
+    // over code points, h ← (h·31 + cp) mod 2^57−13; every intermediate
+    // stays < 2^62 so BIGINT arithmetic is exact on both engines
+    "q_text_rollingfp" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''),
+        |                       c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859)
+        |  END AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the stub "decode" checksum is a codepoint fold — (a·131 + cp) mod
+    // 2^31, left-to-right — reproduced here with list_reduce over
+    // unicode(char); width/height/density are pure arithmetic on it
+    "q_mm_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(text, ''),
+        |                         c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, x) -> (a * 131 + x) % 2147483648)
+        |    END AS ck
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, byte_len,
+        |    CAST(64 + ck % 577 AS INT) AS width,
+        |    CAST(64 + ck % 431 AS INT) AS height
+        |  FROM d)
+        |SELECT doc_id AS media_id, byte_len, width, height,
+        |  round(CAST(byte_len AS DOUBLE) / greatest(width * height, 1), 6) AS density
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // dimensions of the synthesized PNGs are a pure function of the id;
+    // the Spark side must recover them through a REAL ImageIO decode
+    "q_mm_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(16 + doc_id % 16 AS INT) AS height
+        |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
 
     // frame boundaries are pure integer math on the payload length:
     // frame i of k covers bytes [len*i/k, len*(i+1)/k)
@@ -1297,6 +1381,13 @@ object SparkEntry {
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_split_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 <
+        |  CASE lang WHEN 'en' THEN 300000.0 WHEN 'zh' THEN 800000.0
+        |            ELSE 1000000.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->
       """WITH e AS (

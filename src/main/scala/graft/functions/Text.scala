@@ -38,14 +38,11 @@ object Text {
       regexp_replace(lower(NfcNormalize(text)), "[ \\t\\n\\f\\r]+", " "),
       "\\p{Cntrl}", ""))
 
-  /** Rolling (polynomial) fingerprint over whitespace tokens:
-    * h ← (h·31 + xxhash64(token)) mod 2^57−13, folded left-to-right
-    * (ordered `aggregate` keeps it deterministic). The modulus keeps
-    * every intermediate < 2^63 so the expression is ANSI-overflow-safe. */
-  private val FpMod = (1L << 57) - 13
-  def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+  /** Rolling (Rabin–Karp) fingerprint over Unicode code points:
+    * h ← (h·31 + cp) mod 2^57−13, folded left-to-right. Codegen'd
+    * single-pass loop ([[RollingFp]]); order-sensitive, ANSI-safe, and
+    * oracle-reproducible (the same fold in SQL over `unicode(char)`). */
+  def rollingFingerprint(text: Column): Column = RollingFp(text)
 
   /** Word w-shingles: ["a","b","c","d"], w=3 → ["a b c", "b c d"].
     * Docs with fewer than `w` tokens produce NO shingles (standard

