@@ -40,4 +40,47 @@ object RestJsonSource {
       .withColumn("data", from_json(col("body"), schema))
       .drop("body")
   }
+
+  /** Default production transport: `java.net.http` GET with a
+    * per-request timeout, retry-on-5xx/transport-error with exponential
+    * backoff, and None on 4xx or exhausted retries (per-request error
+    * isolation — the row set shrinks, the job survives). Serializable;
+    * the underlying HttpClient is created once per executor JVM, not
+    * per request. `urlOf` maps a request key to its URL and must itself
+    * be serializable (it ships inside the closure). */
+  def httpFetcher[K](urlOf: K => String, timeoutMs: Int = 10000,
+                     retries: Int = 2, backoffMs: Long = 200L): K => Option[String] =
+    new HttpFetch[K](urlOf, timeoutMs, retries, backoffMs)
+
+  private final class HttpFetch[K](urlOf: K => String, timeoutMs: Int,
+                                   retries: Int, backoffMs: Long)
+      extends (K => Option[String]) with Serializable {
+    def apply(k: K): Option[String] = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(urlOf(k)))
+        .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
+      var attempt = 0
+      while (attempt <= retries) {
+        try {
+          val resp = HttpFetch.client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          val code = resp.statusCode()
+          if (code >= 200 && code < 300) return Some(resp.body())
+          if (code < 500) return None  // 4xx is not retryable
+          // 5xx falls through to the retry loop
+        } catch { case _: java.io.IOException => () } // transport error: retry
+        attempt += 1
+        if (attempt <= retries) Thread.sleep(backoffMs << (attempt - 1))
+      }
+      None
+    }
+  }
+
+  private object HttpFetch {
+    // one client per JVM: connection pooling across tasks, no
+    // per-request client construction cost
+    lazy val client: java.net.http.HttpClient = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+  }
 }

@@ -121,6 +121,36 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(r - 0.6) < 1e-6)
   }
 
+  test("scale guard: no cartesian/nested-loop join outside the documented all-pairs ops") {
+    // Permanent regression gate for the per-round "no scale-killers"
+    // audit: every registered query's physical plan must be free of
+    // CartesianProduct and BroadcastNestedLoopJoin, except the three
+    // operators whose all-pairs shape is the documented design:
+    //  - q_sim_topk: exact brute-force ANN baseline (Similarity.bruteForceTopK)
+    //  - q_j3_gravity: all-pairs gravity flow matrix (zones × zones, COO)
+    //  - q_j2_nearest: broadcast NN-join (grid-bucketed alternative exists)
+    val allPairsByDesign = Set("q_sim_topk", "q_j3_gravity", "q_j2_nearest")
+    // q_sim_ivf's nested-loop is NOT all-pairs: it is the coarse
+    // quantizer assigning vectors to the constant nCells-row centroid
+    // table (bounded 16× fan-out, O(N·nCells)); the candidate join
+    // itself is an equi-join on the cell id
+    val boundedBroadcastByDesign = Set("q_sim_ivf")
+    val allowed = allPairsByDesign ++ boundedBroadcastByDesign
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = physicalPlan(name)
+      val crossy = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (crossy && !allowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"undocumented all-pairs plan in: $offenders")
+    // keep the whitelist honest: the documented ones really do cross-join
+    allowed.foreach { name =>
+      val plan = physicalPlan(name)
+      assert(plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$name no longer cross-joins — drop it from the whitelist")
+    }
+  }
+
   test("fused SimHash64 equals the composed 64-fold form bit-for-bit") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").limit(300)

@@ -36,6 +36,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(row.getSeq[Double](0) === Seq(1.5, 2.0))
   }
 
+  test("RestJsonSource.httpFetcher: pagination, retry-on-5xx, 4xx isolation over real HTTP") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/data", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val page = ex.getRequestURI.getQuery.stripPrefix("page=").toInt
+        page match {
+          case 4 => reply(ex, 404, "")             // missing page: 4xx, no retry
+          case 3 =>                                 // first two hits 500, then ok
+            if (flaky.incrementAndGet() <= 2) reply(ex, 500, "boom")
+            else reply(ex, 200, s"""{"page":3,"items":["c"]}""")
+          case p => reply(ex, 200, s"""{"page":$p,"items":["a","b"]}""")
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val schema = StructType(Seq(StructField("page", IntegerType),
+        StructField("items", ArrayType(StringType))))
+      val fetcher = RestJsonSource.httpFetcher[Int](
+        p => s"http://127.0.0.1:$port/data?page=$p", timeoutMs = 5000,
+        retries = 2, backoffMs = 10L)
+      val got = RestJsonSource.fetch(spark, Seq(1, 2, 3, 4), fetcher, schema)
+        .select(col("request"), col("data.page"), col("data.items"))
+      val rows = got.as[(Int, Int, Seq[String])].collect().sortBy(_._1)
+      // page 4 isolated away (404); page 3 survived via retry; bodies parsed
+      assert(rows.map(_._1).toSeq === Seq(1, 2, 3))
+      assert(rows.forall { case (req, page, _) => req === page })
+      assert(rows.find(_._1 == 3).get._3 === Seq("c"))
+      assert(flaky.get() === 3)  // two 500s + the successful third attempt
+    } finally server.stop(0)
+  }
+
   test("IVF top-k agrees with brute force for queries whose neighbors share a cell") {
     val e = Tables(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 20)
