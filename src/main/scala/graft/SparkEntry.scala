@@ -331,6 +331,21 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Skew-mitigated join: the lineitem fact salted over 8 sub-keys
+    // against the replicated part dim — equi-join semantics preserved
+    // exactly (the oracle is the plain join), only the shuffle
+    // distribution changes. Decimal-accumulated sum for float parity.
+    "q_skew_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+      val small = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      Skew.saltedJoin(big, small, "p_partkey", salt = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // TPC-H Q3 shape: 3-way join, filtered fact + broadcast dim, top-10
     "q_tpch_q3" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -465,6 +480,18 @@ object SparkEntry {
     // Dedup 1b: APPLY the exact dedup — corpus minus duplicates
     "q_dedup_apply" -> ((s, dir) => {
       Dedup.applyExact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Dedup 1c: incremental ingestion — docs ≥ 250 arrive as a new
+    // batch; the fingerprint ledger of the first 250 filters
+    // already-seen content, then the batch dedups internally. The
+    // ledger is fingerprints only: history is never rescanned.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = Dedup.ledgerOf(docs.filter(col("doc_id") < 250), "text")
+      Dedup.applyExactIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", ledger)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1072,10 +1099,30 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_skew_join" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY keep_id""".stripMargin,
+
+    // mirrors applyExactIncremental: anti-join the new batch against
+    // the ledger's fingerprints, then keep min-id per fingerprint
+    "q_dedup_incremental" ->
+      """WITH ledger AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id >= 250),
+        |fresh AS (
+        |  SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM ledger))
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |FROM fresh GROUP BY fp ORDER BY doc_id""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
