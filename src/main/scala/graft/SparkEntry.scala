@@ -712,6 +712,21 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Multimodal: the full image round-trip — synthesize PNGs, resize
+    // each to a target that is itself a pure function of the id
+    // (bilinear Graphics2D + PNG re-encode), decode back with ImageIO;
+    // recovered dimensions must equal the targets.
+    "q_mm_resize" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.resizeMedia(
+          Multimodal.syntheticPngMedia(
+            t(s, dir, "documents").filter(col("doc_id") < 40), "doc_id",
+            id => 16 + (id % 16).toInt, id => 16 + (id % 8).toInt),
+          id => 8 + (id % 12).toInt, id => 8 + (id % 6).toInt))
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
     // Deterministic stratified rebalance: downsample the over-represented
     // 'en' stratum (keep 30%) and trim 'zh' (keep 80%) by a transparent
     // multiplicative-hash bucket — membership is a pure function of the
@@ -1408,6 +1423,14 @@ object SparkEntry {
         |  CAST(16 + doc_id % 32 AS INT) AS width,
         |  CAST(16 + doc_id % 16 AS INT) AS height
         |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
+
+    // resize targets are a pure function of the id; the Spark side must
+    // recover them through a REAL resize + re-encode + decode loop
+    "q_mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 12 AS INT) AS width,
+        |  CAST(8 + doc_id % 6 AS INT) AS height
+        |FROM documents WHERE doc_id < 40 ORDER BY media_id""".stripMargin,
 
     // frame boundaries are pure integer math on the payload length:
     // frame i of k covers bytes [len*i/k, len*(i+1)/k)

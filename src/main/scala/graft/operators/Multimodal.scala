@@ -147,6 +147,24 @@ object Multimodal {
     }
   }
 
+  /** Partition-batched resize of a media table: each payload is resized
+    * to (widthOf(id), heightOf(id)) — real re-encode for images, stub
+    * slice otherwise — with `meta.byte_len` updated to the new payload
+    * size. No shuffle: the transform is embarrassingly parallel and
+    * runs where the payload already lives. */
+  def resizeMedia(media: DataFrame,
+                  widthOf: Long => Int, heightOf: Long => Int): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    media.select(col("media_id"), col("payload"), col("mime"), col("meta"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val out = resize(r.getAs[Array[Byte]](1), widthOf(id), heightOf(id))
+          Row(id, out, r.getString(2), Row(r.getStruct(3).getString(0), out.length.toLong))
+        }
+      }
+  }
+
   /** Frame sampling: one payload → up to `n` evenly-spaced "frame"
     * payloads, exploded to one row each (the Spark-side shape of video
     * sampling: fan-out happens before any shuffle, so downstream

@@ -209,6 +209,10 @@ class OperatorSpec extends SparkSpec {
     }
     assert(got(0L) === got(1L))      // deterministic
     assert(got(0L) !== got(2L))      // order-sensitive (unlike a bag hash)
+    // SQL registration via GraftExtensions
+    val viaSql = spark.sql("SELECT rolling_fp('the quick brown fox') AS f")
+      .as[Long].head()
+    assert(viaSql === ref("the quick brown fox"))
   }
 
   test("Text.buildVocabByFreq: most-frequent-first ids with token tie-break") {
