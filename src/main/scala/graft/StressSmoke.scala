@@ -48,8 +48,8 @@ object StressSmoke {
       .select(
         (col("doc_id") + col("k").cast("long") * 10000000L).as("doc_id"),
         when(col("k") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit(" "),
-            concat(col("k"), lit(" ")))).as("text"),
+          .otherwise(concat(regexp_replace(col("text"), lit(" "),
+            concat(col("k"), lit(" "))), col("k"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(64).write.mode("overwrite").parquet(s"$work/documents.parquet")

@@ -68,8 +68,12 @@ object Text {
     val nStop = size(filter(toks, w => array_contains(stopArr, w))).cast("double")
     val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
     df.withColumn("n_tokens", size(toks))
+      // Σ token length ≡ length − (nTok−1): split-on-' ' partitions the
+      // string, so non-token chars are exactly the nTok−1 separators.
+      // Pure codegen arithmetic instead of an interpreted higher-order
+      // aggregate (CodegenFallback) that re-walked the token array.
       .withColumn("avg_token_len",
-        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok)
+        (length(t) - (size(toks) - 1)).cast("double") / nTok)
       .withColumn("stopword_ratio", nStop / nTok)
       .withColumn("punct_ratio", nPunct.cast("double") / length(t).cast("double"))
   }

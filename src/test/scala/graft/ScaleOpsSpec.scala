@@ -89,6 +89,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("StressSmoke.generate: replicas are mutually distinct, intra-replica structure preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("stress").toFile
+    val src = new java.io.File(tmp, "src").getPath
+    val work = new java.io.File(tmp, "work").getPath
+    // two exact dups (1,2) and one distinct doc (3)
+    Seq((1L, "a b c d", "en", "s"), (2L, "a b c d", "en", "s"),
+      (3L, "x y z w", "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$src/documents.parquet")
+    Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(-0.5f, 0.5f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$src/embeddings.parquet")
+    StressSmoke.generate(spark, src, work, reps = 3)
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    assert(docs.count() === 9)
+    // replica 0 is byte-identical to the source corpus
+    assert(docs.filter(col("doc_id") === 1L).select("text").as[String].head() === "a b c d")
+    // intra-replica exact-dup structure: each replica has exactly one dup pair
+    val fp = graft.operators.Dedup.exact(docs, "doc_id", "text")
+    assert(fp.filter(col("dup_count") === 2).count() === 3)
+    // cross-replica: replicas of the SAME doc share no tokens → 0 shingle overlap
+    val texts = docs.filter(col("doc_id") % 10000000L === 3L)
+      .select("text").as[String].collect()
+    val tokenSets = texts.map(_.split(" ").toSet)
+    for (a <- tokenSets; b <- tokenSets if a ne b) assert(a.intersect(b).isEmpty)
+    // embeddings: replica vectors are regenerated, not near-copies
+    val embs = spark.read.parquet(s"$work/embeddings.parquet")
+    assert(embs.count() === 6)
+    val reps1 = embs.filter(col("vec_id") % 10000000L === 1L)
+      .select("embedding").as[Seq[Float]].collect()
+    for (a <- reps1; b <- reps1 if a ne b) assert(a !== b)
+  }
+
   test("UTM 19S forward/inverse round-trips RM coordinates to sub-mm") {
     // Región Metropolitana box (the reference's working area)
     val pts = Seq((-33.45, -70.66), (-34.28, -71.3), (-33.0, -70.4), (-33.51, -70.76))
