@@ -322,6 +322,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range (interval) join, bucketed: every 6th hour opens a 2-hour
+    // window per event_type; events land in containing windows via an
+    // equi-join on (type, hour-bucket) — NOT the non-equi predicate that
+    // would plan as a BroadcastNestedLoopJoin (the scale guard forbids
+    // it). Aggregated per window for a stable result.
+    "q_range_join" -> ((s, dir) => {
+      val ev = eventsPrep(s, dir).select(col("event_type"), col("s"), col("value"))
+      val iv = ev.select(col("event_type"),
+          floor(col("s") / 3600).cast("long").as("h")).distinct()
+        .filter(col("h") % 6 === 0)
+        .select(col("event_type"), (col("h") * 3600).as("w_start"),
+          (col("h") * 3600 + 7200).as("w_end"))
+      Temporal.rangeJoin(ev, iv, Seq("event_type"), "s", "w_start", "w_end",
+          bucketWidth = 3600)
+        .groupBy("event_type", "w_start")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type", "w_start")
+    }),
+
     // Anti-join: customers with no orders
     "q_j_anti" -> ((s, dir) => {
       Relational.antiJoin(t(s, dir, "customer"),
@@ -1113,6 +1133,21 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    // the oracle states the range join as the plain non-equi predicate;
+    // the Spark side must produce identical rows through the bucketed
+    // equi-join rewrite
+    "q_range_join" ->
+      s"""WITH ev AS (SELECT event_type, s, value FROM ($eventsPrepSql) ep),
+         |iv AS (
+         |  SELECT DISTINCT event_type, (s // 3600) * 3600 AS w_start
+         |  FROM ev WHERE (s // 3600) % 6 = 0)
+         |SELECT ev.event_type, iv.w_start, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(ev.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         |FROM ev JOIN iv ON ev.event_type = iv.event_type
+         |  AND ev.s >= iv.w_start AND ev.s < iv.w_start + 7200
+         |GROUP BY ev.event_type, iv.w_start
+         |ORDER BY ev.event_type, iv.w_start""".stripMargin,
 
     "q_skew_join" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,

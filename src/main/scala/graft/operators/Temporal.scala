@@ -46,4 +46,33 @@ object Temporal {
       .filter(col("_side") === 1 && col("_match").isNotNull)
       .select(left.columns.map(col) :+ col("_match"): _*)
   }
+
+  /** Bucketed interval (range) join: every left POINT row meets the
+    * right INTERVAL rows `[startCol, endCol)` containing it, matched
+    * within equal `keyCols`. Spark expresses a range join only as a
+    * non-equi condition, which the planner can execute solely as a
+    * BroadcastNestedLoopJoin — the all-pairs scale-killer the PlanSpec
+    * guard forbids. Here the predicate becomes an equi-join: intervals
+    * explode to the time buckets they cover (⌈span/bucketWidth⌉+1 rows,
+    * bounded for bounded spans), points land in exactly ONE bucket, so
+    * each matching pair meets exactly once (no dedup pass) and the one
+    * shuffle is on (keys, bucket) with work ∝ bucket occupancy.
+    *
+    * Time columns are epoch-second longs; empty intervals (end ≤ start)
+    * match nothing. Pick `bucketWidth` ≈ the typical span: too small
+    * explodes interval rows, too large packs unrelated intervals into
+    * one bucket. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                timeCol: String, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    val lb = left.withColumn("_bk", floor(col(timeCol) / bucketWidth).cast("long"))
+    val rb = right
+      .filter(col(endCol) > col(startCol)) // sequence() would run backwards
+      .withColumn("_bk", explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    lb.join(rb, keyCols :+ "_bk")
+      .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("_bk")
+  }
 }

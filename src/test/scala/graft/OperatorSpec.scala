@@ -92,6 +92,35 @@ class OperatorSpec extends SparkSpec {
     assert(quant === exact)
   }
 
+  test("Temporal.rangeJoin ≡ naive non-equi join; half-open [start, end) bounds") {
+    import graft.operators.Temporal
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      rnd.nextInt(1000).toLong)).toDF("pid", "k", "t")
+    val ivs = (1 to 30).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (i.toLong, if (i % 2 == 0) "a" else "b", s, s + 1 + rnd.nextInt(200))
+    }.toDF("iid", "k", "lo", "hi")
+    val naive = pts.join(ivs.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val bucketed = Temporal.rangeJoin(pts, ivs, Seq("k"), "t", "lo", "hi",
+        bucketWidth = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed === naive)
+    // each matching pair appears exactly once (points hit ONE bucket)
+    val cnt = Temporal.rangeJoin(pts, ivs, Seq("k"), "t", "lo", "hi", 64).count()
+    assert(cnt === bucketed.size)
+    // boundary: start inclusive, end exclusive; empty interval matches nothing
+    val p = Seq((1L, "x", 100L)).toDF("pid", "k", "t")
+    val atStart = Seq((1L, "x", 100L, 200L)).toDF("iid", "k", "lo", "hi")
+    val atEnd = Seq((1L, "x", 50L, 100L)).toDF("iid", "k", "lo", "hi")
+    val empty = Seq((1L, "x", 100L, 100L)).toDF("iid", "k", "lo", "hi")
+    assert(Temporal.rangeJoin(p, atStart, Seq("k"), "t", "lo", "hi", 64).count() === 1)
+    assert(Temporal.rangeJoin(p, atEnd, Seq("k"), "t", "lo", "hi", 64).count() === 0)
+    assert(Temporal.rangeJoin(p, empty, Seq("k"), "t", "lo", "hi", 64).count() === 0)
+  }
+
   test("J3+A6 gravityFlows: flows match closed form; rows sum to 1") {
     val zones = Seq((0, 10L), (1, 20L), (2, 30L)).toDF("z", "m")
     val rows = Nearest.gravityFlows(zones, "z", "m",
