@@ -758,6 +758,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted sampling: keep probability proportional to
+    // document length (a cheap importance weight) — the continuous
+    // generalization of the stratified rebalance, same transparent
+    // multiplicative-hash membership.
+    "q_sample_byrate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.byRate(docs, "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / 400))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Streaming shape: event-time tumbling-window aggregate (batch-equiv)
     "q_stream_window" -> ((s, dir) => {
       StreamingOps.windowedAgg(t(s, dir, "events"))
@@ -1492,6 +1504,12 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000000 <
         |  CASE lang WHEN 'en' THEN 300000.0 WHEN 'zh' THEN 800000.0
         |            ELSE 1000000.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_byrate" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 <
+        |  least(1.0, CAST(n_chars AS DOUBLE) / 400) * 1000000
         |ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->

@@ -57,6 +57,16 @@ object Sampling {
     stratifiedBy(df, pmod(col(idCol) * lit(2654435761L), lit(1000000L)),
       stratumCol, rates, defaultRate)
 
+  /** Deterministic per-row weighted sampling: keep a row iff its
+    * multiplicative-hash bucket falls under `rate` (a Column in [0,1] —
+    * e.g. a quality score or length-proportional importance weight).
+    * The continuous generalization of [[stratifiedByModulo]]: same
+    * nested-sample property (raising a row's rate can only add it),
+    * same engine-independent membership, SQL-reproducible. */
+  def byRate(df: DataFrame, idCol: String, rate: Column): DataFrame =
+    df.filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
+      rate * lit(1000000L))
+
   private def stratifiedBy(df: DataFrame, bucket: Column, stratumCol: String,
                            rates: Map[String, Double],
                            defaultRate: Double): DataFrame = {
