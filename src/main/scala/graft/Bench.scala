@@ -20,7 +20,9 @@ object Bench {
     // comparison. The measured action is a noop-format write (full row
     // materialization through the sink API) rather than count(), which lets
     // Catalyst prune column work on projection-shaped queries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted so run order (and who inherits residual JIT warmup)
+    // is identical across rounds — artifacts stay comparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -31,7 +33,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

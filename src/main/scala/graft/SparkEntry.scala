@@ -442,11 +442,15 @@ object SparkEntry {
     "q_w_ranks" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      // floor(x·1e6), not round(x, 6): both engines compute the same
+      // exact double k/n, but Spark rounds half-up and DuckDB half-to-
+      // even — an exact binary half-case (e.g. 41/640 at sf0.001)
+      // diverges under round() while floor() of identical doubles can't
       t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           dense_rank().over(w).as("drank"),
-          round(percent_rank().over(w), 6).as("prank"),
-          round(cume_dist().over(w), 6).as("cdist"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("prank"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cdist"),
           ntile(4).over(w).as("quartile"))
         .orderBy("l_suppkey", "drank", "l_orderkey", "l_linenumber")
     }),
@@ -660,6 +664,16 @@ object SparkEntry {
       Text.packSequences(docs, "doc_id", "n_tokens", budget = 2048, shardCol = "source")
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
+    }),
+
+    // Text 6: overlapping character chunking (RAG/long-context chunker)
+    // — size-200 windows advancing by 150 (50-char overlap), verified
+    // by chunk md5 so the oracle checks exact window CONTENT
+    "q_text_chunk" -> ((s, dir) => {
+      Text.chunk(t(s, dir, "documents"), "doc_id", "text", size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // Text 3: language-ID by char-n-gram profile argmax (full oracle: the
@@ -1235,8 +1249,8 @@ object SparkEntry {
     "q_w_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(dense_rank() OVER w AS INT) AS drank,
-        |  ROUND(percent_rank() OVER w, 6) AS prank,
-        |  ROUND(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM lineitem WHERE l_suppkey <= 20
         |WINDOW w AS (PARTITION BY l_suppkey
@@ -1421,6 +1435,17 @@ object SparkEntry {
          |  substr(greatest(${terms.mkString(",\n    ")}), 3) AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CASE WHEN length(text) <= 200 THEN 1
+        |      ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1 END)) AS i
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS INT) AS chunk_len,
+        |  md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // same Rabin–Karp fold as graft.functions.RollingFp: left-to-right
     // over code points, h ← (h·31 + cp) mod 2^57−13; every intermediate

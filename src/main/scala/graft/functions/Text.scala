@@ -137,6 +137,26 @@ object Text {
           s => s.getField("token_id").cast("string"))).as("token_ids"))
   }
 
+  /** Overlapping character chunking (the RAG / long-context chunker):
+    * split each document into windows of `size` chars advancing by
+    * `stride` (< size ⇒ overlap of size−stride chars), exploded to one
+    * row per chunk before any shuffle. A doc of length L produces
+    * max(1, ⌈(L−size)/stride⌉+1) chunks — every char is covered and the
+    * final chunk may run short. Pure expressions (sequence/explode/
+    * substr), so chunking runs at scan speed and parallelizes with the
+    * docs; the downstream embed/index stages see bounded-size rows. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val len = length(col(textCol))
+    val nChunks = when(len <= size, lit(1L)).otherwise(
+      ceil((len - size).cast("double") / stride).cast("long") + 1L)
+    docs.withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk",
+        col(textCol).substr((col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+  }
+
   /** Sequential sequence packing: assign each doc to a fixed-budget
     * pack by the running token total within its shard —
     * pack_id = floor(prefix_sum_before_this_doc / budget). One window

@@ -221,6 +221,23 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === "caf\u00e9")
   }
 
+  test("Text.chunk: overlap windows cover every char; count formula; short tail") {
+    import graft.functions.Text
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "x" * 14))
+      .toDF("doc_id", "text")
+    val got = Text.chunk(docs, "doc_id", "text", size = 6, stride = 4)
+      .select("doc_id", "chunk_idx", "chunk").as[(Long, Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) === Seq("abcdef", "efghij"))         // 50% overlap windows
+    assert(got(2L) === Seq("abc"))                      // short doc → 1 chunk
+    assert(got(3L) === Seq("xxxxxx", "xxxxxx", "xxxxxx")) // len 14 → ceil(8/4)+1 = 3
+    // reconstruction: stride-prefixes of all but the last chunk + last chunk
+    for ((id, text) <- Seq(1L -> "abcdefghij", 3L -> ("x" * 14))) {
+      val cs = got(id)
+      assert(cs.init.map(_.take(4)).mkString + cs.last === text)
+    }
+  }
+
   test("Text.rollingFingerprint matches a driver-side reference fold (golden)") {
     import graft.functions.Text
     // reference implementation of the documented semantics:
