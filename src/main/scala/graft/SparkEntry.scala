@@ -519,6 +519,27 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Dedup 1d: bloom-prefiltered apply — byte-identical to
+    // q_dedup_apply (the oracle is the same SQL); the bloom admits all
+    // winners, the semi-join removes its false positives
+    "q_dedup_bloom" -> ((s, dir) => {
+      Dedup.applyExactBloom(t(s, dir, "documents"), "doc_id", "text",
+        expectedWinners = 100000L, fpp = 0.03)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Dedup 1e: benchmark decontamination — training docs sharing any
+    // word-8-gram with the held-out set (doc_id < 400 stands in for an
+    // eval benchmark: the SMALL side, broadcast at every SF) leak eval
+    // content; report the overlap count per training doc
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.benchmarkOverlap(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        docs.filter(col("doc_id") < 400), "text", w = 8)
+        .orderBy("doc_id")
+    }),
+
     // Dedup 2: n-gram (word-3-shingle) Jaccard via inverted-index join.
     // maxBucket caps the hot-shingle bucket (stop-shingles appearing in
     // >100 docs carry no signal and fan out quadratically at 100 TB);
@@ -674,6 +695,15 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"),
           length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Text 7: Gopher-style repetition stats — duplicate-token fraction,
+    // top-token fraction, top-bigram fraction (the boilerplate filters
+    // a pretraining pipeline gates on). Ratios are single IEEE
+    // divisions of exact integer counts → bit-identical cross-engine.
+    "q_text_repetition" -> ((s, dir) => {
+      Text.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // Text 3: language-ID by char-n-gram profile argmax (full oracle: the
@@ -1303,6 +1333,26 @@ object SparkEntry {
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
 
+    // byte-identical contract with q_dedup_apply: the bloom prefilter
+    // only ever removes rows the semi-join would drop anyway
+    "q_dedup_bloom" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.benchmarkOverlap: distinct word-8-grams per doc
+    // (list-slice windows; docs under 8 tokens produce none), training
+    // docs joined against the held-out set's distinct gram set
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-7)) AS i
+        |        FROM t WHERE len(w) >= 8)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 400)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sh s JOIN ev USING (g) WHERE s.doc_id >= 400
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $jaccardShingleCtes,
         |pairs AS (
@@ -1435,6 +1485,36 @@ object SparkEntry {
          |  substr(greatest(${terms.mkString(",\n    ")}), 3) AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors Text.repetitionStats: per-(doc, gram) counts rolled up to
+    // per-doc fractions; every ratio is one IEEE division of exact
+    // BIGINT counts, so no rounding is needed for parity
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, tok),
+        |uni AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM tc GROUP BY doc_id),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i
+        |        FROM w WHERE len(w) >= 2)),
+        |bc AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY doc_id, g),
+        |bi AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg, CAST(MAX(c) AS BIGINT) AS top_bg
+        |  FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tok,
+        |  CAST(u.n_tok - u.n_distinct AS DOUBLE) / CAST(u.n_tok AS DOUBLE) AS dup_token_frac,
+        |  CAST(u.top_c AS DOUBLE) / CAST(u.n_tok AS DOUBLE) AS top_token_frac,
+        |  COALESCE(CAST(b.top_bg AS DOUBLE) / CAST(b.n_bg AS DOUBLE), 0.0) AS top_bigram_frac
+        |FROM uni u LEFT JOIN bi b USING (doc_id) ORDER BY u.doc_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH c AS (

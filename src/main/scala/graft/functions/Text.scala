@@ -157,6 +157,39 @@ object Text {
         col(textCol).substr((col("chunk_idx") * stride + 1).cast("int"), lit(size)))
   }
 
+  /** Repetition / quality statistics in the style of the Gopher corpus
+    * filters (Rae et al. 2021, "Scaling Language Models" §A1.1): per
+    * document, the fraction of tokens that are repeats of an earlier
+    * token (`dup_token_frac`), the fraction claimed by the single most
+    * frequent token (`top_token_frac`), and the fraction of bigrams
+    * claimed by the most frequent bigram (`top_bigram_frac`). High
+    * values mark boilerplate / degenerate text a pretraining pipeline
+    * drops.
+    *
+    * Scale shape: two explode→two-level-aggregate pipelines keyed by
+    * (doc, gram) then doc — partial aggregation combines map-side, so
+    * the shuffle carries one row per DISTINCT (doc, gram), not the raw
+    * token stream, and per-doc cardinality bounds every group. No
+    * windows, no driver state. Docs with fewer than 2 tokens have no
+    * bigrams → `top_bigram_frac` = 0. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val uniCounts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val uni = uniCounts.groupBy(col(idCol)).agg(
+      sum("c").as("n_tok"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    val biCounts = docs
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val bi = biCounts.groupBy(col(idCol)).agg(
+      sum("c").as("n_bg"), max("c").as("top_bg"))
+    uni.join(bi, Seq(idCol), "left").select(
+      col(idCol), col("n_tok"),
+      ((col("n_tok") - col("n_distinct")).cast("double") / col("n_tok")).as("dup_token_frac"),
+      (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"),
+      coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Sequential sequence packing: assign each doc to a fixed-budget
     * pack by the running token total within its shard —
     * pack_id = floor(prefix_sum_before_this_doc / budget). One window

@@ -62,6 +62,61 @@ object Dedup {
   def ledgerOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(Text.fingerprintMd5(col(textCol)).as("fp")).distinct()
 
+  /** Bloom-prefiltered exact-dedup apply: byte-identical result to
+    * [[applyExact]], but the corpus is filtered through a broadcast
+    * Bloom filter of the winner ids BEFORE the semi-join shuffle — the
+    * explicit form of Spark's runtime bloom filter. The filter admits
+    * every winner (no false negatives by construction) plus ~`fpp`
+    * false positives, and the exact semi-join behind it removes those,
+    * so exactness is preserved.
+    *
+    * Scale trade: one extra pass to build the filter (tree-aggregated;
+    * the driver holds only the fixed-size bitmap) buys a big-side
+    * shuffle of |winners|·(1+fpp) rows instead of |docs|. On a corpus
+    * that is 50% duplicates that halves the dominant shuffle; the more
+    * duplicated the corpus, the bigger the win. */
+  def applyExactBloom(docs: DataFrame, idCol: String, textCol: String,
+                      expectedWinners: Long = 1000000L,
+                      fpp: Double = 0.03): DataFrame = {
+    val winners = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val bloom = winners.stat.bloomFilter(idCol, expectedWinners, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightWin = udf((id: Long) => bc.value.mightContain(id))
+    docs.filter(mightWin(col(idCol))).join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Benchmark decontamination: count, per training doc, the distinct
+    * word-`w`-grams it shares with an evaluation/benchmark corpus —
+    * docs with any overlap are leaking eval content into training and
+    * get dropped (The Pile / GPT-3 style n-gram decontamination;
+    * 8–13-grams are the conventional window).
+    *
+    * Scale shape: the benchmark is tiny next to a 100 TB corpus, so its
+    * distinct shingle set rides as a broadcast dim; the corpus shingles
+    * stream through the broadcast hash join with NO shuffle, and only
+    * matching (doc, gram) pairs reach the per-doc count. */
+  def benchmarkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       w: Int): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(array_distinct(Text.shingles(col(textCol), w))).as("g"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(Text.shingles(col(benchTextCol), w))).as("g"))
+      .distinct()
+    docSh.join(broadcast(benchSh), Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Apply decontamination: the training corpus minus every doc that
+    * shares at least one word-`w`-gram with the benchmark. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    w: Int): DataFrame =
+    docs.join(
+      benchmarkOverlap(docs, idCol, textCol, benchmark, benchTextCol, w)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Distinct word-w-shingles per doc, exploded to an inverted-index
     * shape (doc_id, shingle). `maxBucket` drops shingles appearing in
     * more than that many docs — stop-shingles generate quadratic join

@@ -200,6 +200,52 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Dedup.applyExactBloom is byte-identical to applyExact (with duplicates present)") {
+    val docs = (0L until 200L).map { i =>
+      // 100 distinct contents, each duplicated once → 50% dup corpus
+      (i, s"content number ${i % 100} with shared words")
+    }.toDF("doc_id", "text")
+    val plain = Dedup.applyExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = Dedup.applyExactBloom(docs, "doc_id", "text",
+      expectedWinners = 1000L, fpp = 0.03)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed === plain)
+    assert(plain.length === 100)   // min-id winner per content
+  }
+
+  test("Dedup.benchmarkOverlap counts shared 8-grams; decontaminate drops exactly those docs") {
+    val leaked = "the quick brown fox jumps over the lazy dog tonight"
+    val train = Seq(
+      (1L, leaked),                                     // full eval doc leaked
+      (2L, "completely unrelated words about spark engines and shuffles two"),
+      (3L, "prefix words then " + leaked)               // eval text embedded mid-doc
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("doc_id", "text")
+    val overlap = Dedup.benchmarkOverlap(train, "doc_id", "text", bench, "text", w = 8)
+      .as[(Long, Long)].collect().toMap
+    // leaked doc has 10 tokens → 3 distinct 8-grams, all shared
+    assert(overlap === Map(1L -> 3L, 3L -> 3L))
+    val clean = Dedup.decontaminate(train, "doc_id", "text", bench, "text", w = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L))
+  }
+
+  test("Text.repetitionStats: duplicate/top-token and top-bigram fractions") {
+    import graft.functions.Text
+    val docs = Seq(
+      (1L, "a a b"),            // 3 tokens, 2 distinct; bigrams: "a a","a b"
+      (2L, "x"),                // single token → no bigrams
+      (3L, "w w w w")           // fully degenerate: bigrams all "w w"
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((3L, 1.0 / 3, 2.0 / 3, 0.5)))
+    assert(got(2L) === ((1L, 0.0, 1.0, 0.0)))
+    assert(got(3L) === ((4L, 0.75, 1.0, 1.0)))
+  }
+
   test("Text.clean: NFC composition, whitespace collapse, control strip") {
     import graft.functions.Text
     val decomposed = "cafe\u0301  RICO"          // e + combining acute
