@@ -687,6 +687,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pipeline flagship: the full pretraining-data path in one plan —
+    // clean (NFC/lowercase/whitespace) → token-count quality gate →
+    // exact dedup on cleaned content → pack into 2048-token budgets
+    // per source shard. Every stage is individually oracled elsewhere;
+    // this verifies their COMPOSITION end-to-end.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Text.clean(col("text")).as("ctext"))
+        .withColumn("n_tokens", Text.tokenCount(col("ctext")))
+        .filter(col("n_tokens") >= 20)
+      val deduped = Dedup.applyExact(docs, "doc_id", "ctext")
+      Text.packSequences(deduped, "doc_id", "n_tokens", budget = 2048, shardCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // Text 6: overlapping character chunking (RAG/long-context chunker)
     // — size-200 windows advancing by 150 (50-char overlap), verified
     // by chunk md5 so the oracle checks exact window CONTENT
@@ -703,6 +719,23 @@ object SparkEntry {
     // divisions of exact integer counts → bit-identical cross-engine.
     "q_text_repetition" -> ((s, dir) => {
       Text.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Text 8: PII redaction — emails/SSNs/phones/IPv4 replaced by typed
+    // tags. The corpus is synthetic word-soup, so the oracle here
+    // asserts NO false positives (output ≡ input, verified by md5);
+    // the true-positive semantics are spec'd on planted fixtures.
+    "q_text_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(Text.redactPii(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Text 9: character-distribution Shannon entropy (bits/char) — the
+    // degenerate-text / binary-junk quality gate
+    "q_text_entropy" -> ((s, dir) => {
+      Text.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1431,6 +1464,29 @@ object SparkEntry {
         |SELECT doc_id, clean_text, md5(clean_text) AS fp
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // composition of the q_text_clean, q_dedup_apply and q_text_pack
+    // oracle fragments — stage-for-stage mirror of the Spark plan
+    "q_pipeline_pretrain" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[ \t\n\f\r]+', ' ', 'g'), '[[:cntrl:]]', '', 'g')) AS ctext
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, ctext,
+        |    CAST(len(string_split(ctext, ' ')) AS INT) AS n_tokens
+        |  FROM c),
+        |f AS (SELECT * FROM d WHERE n_tokens >= 20),
+        |ded AS (SELECT MIN(doc_id) AS keep FROM f GROUP BY md5(lower(trim(ctext)))),
+        |k AS (SELECT doc_id, source, n_tokens FROM f JOIN ded ON doc_id = keep),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM k)
+        |SELECT doc_id, source, n_tokens, CAST(prefix // 2048 AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q_text_tokenids" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
         |ix AS (SELECT doc_id, w[pos] AS token, pos
@@ -1485,6 +1541,35 @@ object SparkEntry {
          |  substr(greatest(${terms.mkString(",\n    ")}), 3) AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // same four patterns as Text.redactPii, RE2-compatible, 'g' flag =
+    // Spark's replace-all default; md5 compares the full redacted text
+    "q_text_redact" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+        |      '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+        |  ) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors Text.charEntropy: H = log2(n) − (Σ c·log2 c)/n over the
+    // per-(doc, char) counts, rounded 6 dp for summation-order parity
+    "q_text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  ROUND(log2(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+        |    6) AS char_entropy
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors Text.repetitionStats: per-(doc, gram) counts rolled up to
     // per-doc fractions; every ratio is one IEEE division of exact

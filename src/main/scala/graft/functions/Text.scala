@@ -205,6 +205,50 @@ object Text {
       .drop("_prefix")
   }
 
+  /** PII redaction for training corpora: emails, North-American phone
+    * numbers, SSNs, and IPv4 addresses each replaced by a typed tag
+    * (`[EMAIL]`, `[PHONE]`, …). Patterns are deliberately conservative
+    * (anchored shapes, not free digit runs) and expressible identically
+    * in Java and RE2 regex dialects, so the DuckDB oracle applies the
+    * same patterns. Chained `regexp_replace` — pure codegen, scan
+    * speed. Order matters: SSN before phone, phone before bare IPv4. */
+  def redactPii(text: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, email, "[EMAIL]"),
+          ssn, "[SSN]"),
+        phone, "[PHONE]"),
+      ipv4, "[IP]")
+  }
+
+  /** Shannon entropy (bits/char) of the character distribution —
+    * near-zero entropy marks degenerate repetition, unusually high
+    * entropy marks binary junk; both are standard corpus-quality gates.
+    * Same explode→two-level-aggregate shape as [[repetitionStats]]:
+    * shuffle carries one row per distinct (doc, char). Computed as
+    * H = log2(n) − (Σ c·log2 c)/n — one aggregate pass, no window —
+    * and rounded to 6 dp (the summation order of the per-char terms is
+    * engine-dependent). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      // Spark's split keeps a trailing "" (Java split with limit -1);
+      // drop it so n is the true char count, as in the SQL mirror
+      .where(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol)).agg(
+      round(
+        log2(sum("c").cast("double")) -
+          sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+            sum("c").cast("double"),
+        6).as("char_entropy"))
+  }
+
   /** Language-ID by character-n-gram profile scoring: score(text, L) =
     * Σ over text trigrams of weight(L, trigram); predicted language is
     * the argmax with lexicographic tie-break. Profiles are tiny →

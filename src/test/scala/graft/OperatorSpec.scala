@@ -246,6 +246,34 @@ class OperatorSpec extends SparkSpec {
     assert(got(3L) === ((4L, 0.75, 1.0, 1.0)))
   }
 
+  test("Text.redactPii replaces planted PII with typed tags, leaves clean text alone") {
+    import graft.functions.Text
+    val rows = Seq(
+      (1L, "mail john.doe+spam@example.co.uk now"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "ssn 123-45-6789 leaked from 10.0.0.1"),
+      (4L, "clean text with numbers 1234 and dots a.b stays intact")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Text.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "mail [EMAIL] now")
+    assert(got(2L) === "call [PHONE] or [PHONE]")
+    assert(got(3L) === "ssn [SSN] leaked from [IP]")
+    assert(got(4L) === "clean text with numbers 1234 and dots a.b stays intact")
+  }
+
+  test("Text.charEntropy: exact values on uniform and degenerate distributions") {
+    import graft.functions.Text
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, "aab"))
+      .toDF("doc_id", "text")
+    val got = Text.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)                     // two symbols, uniform
+    assert(got(2L) === 0.0)                     // degenerate
+    assert(got(3L) === 2.0)                     // four symbols, uniform
+    assert(got(4L) === 0.918296)                // H(2/3, 1/3) rounded 6dp
+  }
+
   test("Text.clean: NFC composition, whitespace collapse, control strip") {
     import graft.functions.Text
     val decomposed = "cafe\u0301  RICO"          // e + combining acute
