@@ -34,7 +34,9 @@ object StressSmoke {
     "q_text_stats", "q_text_clean", "q_text_fingerprint", "q_text_rollingfp",
     "q_text_langid", "q_text_vocab", "q_text_tokenids", "q_text_topk",
     "q_text_pack", "q_mm_meta", "q_mm_features", "q_mm_frames", "q_mm_decode",
-    "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf")
+    "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf",
+    "q_dedup_bloom", "q_decontaminate", "q_text_chunk", "q_text_repetition",
+    "q_text_redact", "q_text_entropy", "q_pipeline_pretrain", "q_sample_byrate")
 
   def generate(spark: SparkSession, src: String, work: String, reps: Int): Unit = {
     val k = explode(sequence(lit(0), lit(reps - 1))).as("k")
