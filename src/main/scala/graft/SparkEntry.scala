@@ -722,6 +722,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text 10: per-doc top-5 TF-IDF keywords (sklearn smoothed idf,
+    // deterministic score-desc/term-asc tie-break). The corpus size is
+    // the known row count of the documents table at each SF.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.tfidfTopTerms(docs, "doc_id", "text", k = 5, nDocs = docs.count())
+        .orderBy("doc_id", "rank")
+    }),
+
     // Text 8: PII redaction — emails/SSNs/phones/IPv4 replaced by typed
     // tags. The corpus is synthetic word-soup, so the oracle here
     // asserts NO false positives (output ≡ input, verified by md5);
@@ -1541,6 +1550,29 @@ object SparkEntry {
          |  substr(greatest(${terms.mkString(",\n    ")}), 3) AS predicted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors Text.tfidfTopTerms: same smoothed idf, same tie-break.
+    // Scores of distinct (tf, df) pairs differ macroscopically, so the
+    // ranking is engine-stable; equal pairs tie-break on term asc.
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.c AS DOUBLE) * (ln((n.nd + 1) / (CAST(dfq.df AS DOUBLE) + 1)) + 1) AS score
+        |  FROM tf JOIN dfq USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, rank, term, ROUND(score, 6) AS score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // same four patterns as Text.redactPii, RE2-compatible, 'g' flag =
     // Spark's replace-all default; md5 compares the full redacted text

@@ -205,6 +205,34 @@ object Text {
       .drop("_prefix")
   }
 
+  /** Per-document top-`k` TF-IDF terms (the classic keyword extractor):
+    * score = tf · (ln((N+1)/(df+1)) + 1) — sklearn's smoothed idf —
+    * ranked per doc with a deterministic (score desc, term asc)
+    * tie-break. `nDocs` is the corpus size (pass `docs.count()`; taken
+    * as a parameter so the caller can reuse a known count instead of
+    * paying an extra scan).
+    *
+    * Scale shape: tf is an explode→partial-agg keyed by (doc, term);
+    * df is a second partial-agg of that keyed by term; the tf⋈df join
+    * shuffles by term (both sides already aggregated — rows ∝ distinct
+    * terms, not the token stream); the final top-k window partitions by
+    * doc with bounded per-doc cardinality. No driver-side state. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, nDocs: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) + 1d) / (col("df").cast("double") + 1d)) + 1d
+    val scored = tf.join(dfTbl, Seq("term"))
+      .withColumn("score", col("c").cast("double") * idf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), round(col("score"), 6).as("score"))
+  }
+
   /** PII redaction for training corpora: emails, North-American phone
     * numbers, SSNs, and IPv4 addresses each replaced by a typed tag
     * (`[EMAIL]`, `[PHONE]`, …). Patterns are deliberately conservative

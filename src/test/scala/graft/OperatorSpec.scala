@@ -246,6 +246,22 @@ class OperatorSpec extends SparkSpec {
     assert(got(3L) === ((4L, 0.75, 1.0, 1.0)))
   }
 
+  test("Text.tfidfTopTerms: sklearn-style smoothed idf, rank and tie-break") {
+    import graft.functions.Text
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = Text.tfidfTopTerms(docs, "doc_id", "text", k = 2, nDocs = 3L)
+      .select("doc_id", "rank", "term", "score")
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // idf(df=1) = ln(4/2)+1 ≈ 1.693147; idf(df=2) = ln(4/3)+1 ≈ 1.287682
+    assert(got === Seq(
+      (1L, 1, "apple", 3.386294),   // 2 × 1.693147
+      (1L, 2, "banana", 1.287682),
+      (2L, 1, "banana", 1.287682),  // ties with cherry → term asc
+      (2L, 2, "cherry", 1.287682),
+      (3L, 1, "cherry", 3.863046))) // 3 × 1.287682
+  }
+
   test("Text.redactPii replaces planted PII with typed tags, leaves clean text alone") {
     import graft.functions.Text
     val rows = Seq(
