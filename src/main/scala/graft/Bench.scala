@@ -15,26 +15,24 @@ object Bench {
     // first measured query isn't charged ~7 s of one-time startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.Tables.all.foreach(n => graft.Tables(spark, sfDir, n).count())
-    // Per-query median of `reps` runs: single-shot timing on this class of VM
-    // swings up to 10x on identical code, which poisons round-over-round
-    // comparison. The measured action is a noop-format write (full row
-    // materialization through the sink API) rather than count(), which lets
-    // Catalyst prune column work on projection-shaped queries.
-    // name-sorted so run order (and who inherits residual JIT warmup)
-    // is identical across rounds — artifacts stay comparable
+    // Per-query median of `reps` runs (Timing.medianNoopWrite): single-shot
+    // timing on this class of VM swings up to 10x on identical code, which
+    // poisons round-over-round comparison. name-sorted so run order (and who
+    // inherits residual JIT warmup) is identical across rounds — artifacts
+    // stay comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      val (median, ok) = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
+      (name, median, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val failures = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    // "failures" is present only when something broke, so the artifact's
+    // happy-path shape is unchanged round over round
+    val failuresField =
+      if (failures.isEmpty) "" else s""","failures":${failures.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField}""")
     spark.stop()
   }
 }

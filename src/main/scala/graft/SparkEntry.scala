@@ -774,13 +774,17 @@ object SparkEntry {
     // Multimodal: full decode features. Payloads here are octet-stream
     // text, so the deterministic stub fires — and since round 4 its
     // checksum is a codepoint fold the DuckDB oracle reproduces, making
-    // all five columns hash-checked (density rounded to 6 dp on both
-    // sides: it's an exact integer ratio, rounding only normalizes
-    // formatting).
+    // all five columns hash-checked. density uses floor(x·1e6), not
+    // round(x, 6): byte_len/(w·h) is an exact integer ratio, and exact
+    // ratios are precisely the values that can land on a decimal half
+    // where Spark (half-up) and DuckDB (half-even) disagree — the same
+    // divergence q_w_ranks hit at 41/640. floor of identical doubles
+    // cannot differ.
     "q_mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source"))
-        .withColumn("density", round(col("density"), 6))
+        .withColumn("density",
+          floor(col("density") * 1000000).cast("long"))
         .orderBy("media_id")
     }),
 
@@ -1593,7 +1597,8 @@ object SparkEntry {
     // per-(doc, char) counts, rounded 6 dp for summation-order parity
     "q_text_entropy" ->
       """WITH ch AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
         |cc AS (
         |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM ch GROUP BY doc_id, ch)
@@ -1682,7 +1687,8 @@ object SparkEntry {
         |    CAST(64 + ck % 431 AS INT) AS height
         |  FROM d)
         |SELECT doc_id AS media_id, byte_len, width, height,
-        |  round(CAST(byte_len AS DOUBLE) / greatest(width * height, 1), 6) AS density
+        |  CAST(floor(CAST(byte_len AS DOUBLE) / greatest(width * height, 1) * 1000000)
+        |    AS BIGINT) AS density
         |FROM f ORDER BY media_id""".stripMargin,
 
     // dimensions of the synthesized PNGs are a pure function of the id;

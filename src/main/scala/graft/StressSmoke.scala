@@ -34,9 +34,10 @@ object StressSmoke {
     "q_text_stats", "q_text_clean", "q_text_fingerprint", "q_text_rollingfp",
     "q_text_langid", "q_text_vocab", "q_text_tokenids", "q_text_topk",
     "q_text_pack", "q_mm_meta", "q_mm_features", "q_mm_frames", "q_mm_decode",
-    "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf",
-    "q_dedup_bloom", "q_decontaminate", "q_text_chunk", "q_text_repetition",
-    "q_text_redact", "q_text_entropy", "q_pipeline_pretrain", "q_sample_byrate")
+    "q_mm_resize", "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf",
+    "q_dedup_bloom", "q_dedup_incremental", "q_decontaminate", "q_text_chunk",
+    "q_text_repetition", "q_text_redact", "q_text_entropy", "q_text_tfidf",
+    "q_pipeline_pretrain", "q_sample_byrate")
 
   def generate(spark: SparkSession, src: String, work: String, reps: Int): Unit = {
     val k = explode(sequence(lit(0), lit(reps - 1))).as("k")
@@ -93,14 +94,7 @@ object StressSmoke {
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").toSet).getOrElse(stressQueries.toSet)
     val results = stressQueries.filter(only).map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to timingReps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, work).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage.take(200)}") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      name -> Timing.medianNoopWrite(name, SparkEntry.queries(name), spark, work, timingReps)._1
     }
     val qs = results.map { case (n, v) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"${src}x$reps","shuffle_partitions":200}""")

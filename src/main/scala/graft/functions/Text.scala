@@ -261,7 +261,9 @@ object Text {
     * shuffle carries one row per distinct (doc, char). Computed as
     * H = log2(n) − (Σ c·log2 c)/n — one aggregate pass, no window —
     * and rounded to 6 dp (the summation order of the per-char terms is
-    * engine-dependent). */
+    * engine-dependent). Documents with empty text produce no output row
+    * (their entropy is undefined; the SQL mirror excludes them the same
+    * way). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol), explode(split(col(textCol), "")).as("ch"))

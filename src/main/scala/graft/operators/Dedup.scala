@@ -74,11 +74,16 @@ object Dedup {
     * the driver holds only the fixed-size bitmap) buys a big-side
     * shuffle of |winners|·(1+fpp) rows instead of |docs|. On a corpus
     * that is 50% duplicates that halves the dominant shuffle; the more
-    * duplicated the corpus, the bigger the win. */
+    * duplicated the corpus, the bigger the win. The winner-id set (ids
+    * only — a long per distinct content) is cached so the bloom build
+    * and the semi-join share one aggregation pass instead of running
+    * the corpus-wide groupBy twice; it stays cached for reuse across
+    * the caller's actions. */
   def applyExactBloom(docs: DataFrame, idCol: String, textCol: String,
                       expectedWinners: Long = 1000000L,
                       fpp: Double = 0.03): DataFrame = {
     val winners = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = winners.stat.bloomFilter(idCol, expectedWinners, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightWin = udf((id: Long) => bc.value.mightContain(id))

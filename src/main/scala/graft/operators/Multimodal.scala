@@ -64,7 +64,14 @@ object Multimodal {
     * The checksum folds the payload's UTF-8-decoded code points —
     * (a·131 + cp) mod 2³¹, left-to-right — so the same fold is
     * reproducible in the DuckDB oracle (`list_reduce` over
-    * `unicode(char)`), making even the stubbed path hash-checkable. */
+    * `unicode(char)`), making even the stubbed path hash-checkable.
+    * Known limit of the codepoint contract: bytes that are invalid
+    * UTF-8 collapse to U+FFFD before the fold, so two corrupt binary
+    * payloads can share a checksum where a byte-level fold would not —
+    * acceptable for a stub whose only promise is determinism, and the
+    * price of oracle reproducibility (DuckDB folds code points, not
+    * bytes). Real image payloads never reach this path ([[decode]]
+    * tries ImageIO first). */
   def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
     val s = new String(payload, StandardCharsets.UTF_8)
     var checksum = 0L
