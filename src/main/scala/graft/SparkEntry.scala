@@ -560,6 +560,16 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Dedup 2c: APPLY the clustering — corpus minus every
+    // non-representative near-dup member (the pipeline's actual output)
+    "q_dedup_cluster_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      Dedup.applyNearDups(docs, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Dedup 3: MinHash+LSH with exact-Jaccard verification — no SQL oracle
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(
@@ -1413,6 +1423,27 @@ object SparkEntry {
         |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s)
         |SELECT s AS node, CAST(LEAST(s, MIN(dd)) AS BIGINT) AS cluster
         |FROM reach GROUP BY s ORDER BY node""".stripMargin,
+
+    // same recursive reachability as q_dedup_cluster; drop every node
+    // whose cluster label is not its own id
+    "q_dedup_cluster_apply" ->
+      s"""WITH RECURSIVE $jaccardShingleCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05),
+        |e AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM e
+        |  UNION
+        |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s),
+        |dropped AS (
+        |  SELECT s AS node FROM reach GROUP BY s
+        |  HAVING LEAST(s, MIN(dd)) <> s)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 500 AND doc_id NOT IN (SELECT node FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $jaccardShingleCtes

@@ -255,6 +255,19 @@ object Dedup {
     out
   }
 
+  /** Apply near-dup clustering: keep each cluster's min-id
+    * representative plus every unclustered doc — the operator a
+    * pipeline actually runs after pair-finding ([[ngramJaccardPairs]] /
+    * [[minhashLshPairs]] / …). Non-representative members (cluster
+    * nodes whose label differs from their own id) are anti-joined out;
+    * the corpus streams once and only the small label set shuffles. */
+  def applyNearDups(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    docs.join(
+      connectedComponents(pairs, aCol, bCol)
+        .filter(col("node") =!= col("cluster")).select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
     * take the sign vector. Near-dups = pairs within `maxHamming` bits,
     * found by splitting the 64 bits into (maxHamming+1) bands — the

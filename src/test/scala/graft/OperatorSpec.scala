@@ -200,6 +200,16 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Dedup.applyNearDups keeps cluster representatives and unclustered docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    // chain 1—2—3 clusters to min-id 1; doc 4 is unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("Dedup.applyExactBloom is byte-identical to applyExact (with duplicates present)") {
     val docs = (0L until 200L).map { i =>
       // 100 distinct contents, each duplicated once → 50% dup corpus
