@@ -93,6 +93,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A10: per-group winsorization (outlier clipping to [p05, p95]) —
+    // verified by the exact clamp-decision counts (pure integers) plus
+    // the round-6 bounds; duplicate-adjacent percentile values make the
+    // boundary comparisons engine-consistent
+    "q_winsorize" -> ((s, dir) => {
+      Profile.winsorize(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"), lo = 0.05, hi = 0.95)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("_lo"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("l_extendedprice") > col("_hi"), 1L).otherwise(0L)).as("n_above"),
+          round(min("_lo"), 6).as("lo"),
+          round(max("_hi"), 6).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
     // A9: second-moment statistics (sample var/stddev/covar/corr) with
     // the decimal-exact centered-sum recipe shared with the OLS oracle
     "q_a9_stats" -> ((s, dir) => {
@@ -1009,6 +1025,21 @@ object SparkEntry {
         |  ROUND(dxy / (n * (n - 1)), 6) AS covar_xy,
         |  ROUND(dxy / sqrt(dxx * dyy), 6) AS corr_xy
         |FROM b ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Profile.winsorize + the summary agg: quantile_cont ≡
+    // Spark percentile (same (n−1)·p linear interpolation)
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS blo,
+        |    quantile_cont(l_extendedprice, 0.95) AS bhi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < b.blo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > b.bhi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  ROUND(MIN(b.blo), 6) AS lo, ROUND(MAX(b.bhi), 6) AS hi
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q_a8_percentiles" ->
       """SELECT l_returnflag,

@@ -26,8 +26,9 @@ object StressSmoke {
   /** Document-shaped queries: every SparkEntry entry that reads only
     * `documents`/`embeddings` and has a linear-or-better scale design.
     * Excluded by design: q_sim_topk (the documented quadratic exact-ANN
-    * baseline) and the TPC-H/events queries (their tables aren't
-    * scaled here). */
+    * baseline), the TPC-H/events queries (their tables aren't scaled
+    * here), and q_dedup_cluster_apply (its cost is the q_dedup_cluster
+    * iteration already in the pack plus one anti-join). */
   val stressQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_apply", "q_dedup_jaccard", "q_dedup_cluster",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",

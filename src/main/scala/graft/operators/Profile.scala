@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Per-group winsorization (outlier clipping): clamp `valueCol` to
+    * its group's [`lo`, `hi`] interpolated percentiles — the standard
+    * robust-statistics pass before training on heavy-tailed numerics.
+    * Adds `<valueCol>_w` (the clamped value) plus the `_lo`/`_hi`
+    * bounds. Two-pass by necessity (exact percentiles need the full
+    * group): one aggregation for the bounds, then a join back sized by
+    * the optimizer — the bounds table has one row per group, so AQE
+    * broadcasts it whenever the group count is sane and the corpus
+    * streams without a shuffle. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo/$hi")
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(
+      expr(s"percentile($valueCol, $lo)").as("_lo"),
+      expr(s"percentile($valueCol, $hi)").as("_hi"))
+    df.join(bounds, groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+  }
+
   /** Per-group second-moment statistics — sample variance/stddev of
     * `x`, sample covariance and Pearson correlation of `(x, y)` —
     * computed engine-reproducibly (DuckDB-oracle parity) the same way

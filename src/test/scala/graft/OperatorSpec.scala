@@ -200,6 +200,16 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Profile.winsorize clamps to interpolated per-group percentiles") {
+    import graft.operators.Profile
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val w = Profile.winsorize(df, "v", Seq("grp"), lo = 0.1, hi = 0.9)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    // (n-1)·p interpolation: p10 = 1.9, p90 = 9.1
+    assert(w(1.0) === 1.9 && w(10.0) === 9.1)
+    assert(w(5.0) === 5.0)   // interior values untouched
+  }
+
   test("Dedup.applyNearDups keeps cluster representatives and unclustered docs") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")
