@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * end-to-end pretraining pipeline (clean → quality gate → exact
+    * dedup → sequence packing in one plan) is the engine's best
+    * single-query face. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_a1_groupsum")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_pretrain")(spark, "/root/testdata/sf0.001")
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)

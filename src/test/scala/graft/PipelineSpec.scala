@@ -10,6 +10,10 @@ import org.apache.spark.sql.Row
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("SparkEntry.entry (driver smoke contract) returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() === 1)
+  }
+
   test("AtencionesUrgencia: RM/2019+/7-causes filter + 14-col projection") {
     val rows = for {
       region <- Seq("05", "13"); anio <- Seq(2018, 2020)
