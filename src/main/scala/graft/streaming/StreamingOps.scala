@@ -98,6 +98,24 @@ object StreamingOps {
     * kept-row choice (arrival order) and the fingerprint function
     * (md5-of-normalized-text) identical to the batch operator so batch
     * and stream agree row-for-row. */
+  /** Bounded-state streaming dedup: drop rows whose content fingerprint
+    * was already seen, with state expired by the event-time watermark —
+    * the production answer to [[dedupExact]]'s unbounded fingerprint
+    * state on an infinite stream. Correct under the standard streaming
+    * dedup contract: duplicates are guaranteed dropped only when they
+    * arrive within `delay` of the first occurrence's event time, which
+    * is the right trade on a 100 TB/day firehose where near-in-time
+    * duplicates dominate (cross-epoch dedup belongs to the batch
+    * ledger, [[graft.operators.Dedup.applyExactIncremental]]).
+    * `tsCol` must be a timestamp column (see [[tsCol]]). */
+  def dedupExactWatermarked(docs: DataFrame, idCol: String, textCol: String,
+                            eventTimeCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.Text.fingerprintMd5(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

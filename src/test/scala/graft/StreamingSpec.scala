@@ -119,6 +119,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set(1L, 3L, 5L))
   }
 
+  test("dedupExactWatermarked drops within-watermark duplicates with bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val docs = in.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = StreamingOps.dedupExactWatermarked(
+      docs, "doc_id", "text", "event_time", delay = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdw_out").start()
+    // batch 1: first arrival of "a"; batch 2: a dup of "a" 10 min later
+    // (inside the watermark → dropped) and a fresh "b"
+    in.addData((1L, "a", 1000L))
+    q.processAllAvailable()
+    in.addData((2L, "a", 1600L), (3L, "b", 1700L))
+    q.processAllAvailable()
+    val kept = spark.table("sdw_out").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L))
+  }
+
   test("sessionize runs on the event stream shape (batch check)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
