@@ -112,6 +112,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A11: per-group feature scaling (z-score + min-max). The raw
+    // scores are bit-identical cross-engine (decimal-exact sums →
+    // IEEE-determined doubles), quantized with floor(x·1e6) — integer
+    // quantities make exact decimal halves reachable, the q_w_ranks
+    // divergence class, so round() is out
+    "q_standardize" -> ((s, dir) => {
+      Profile.standardize(t(s, dir, "lineitem"), "l_quantity",
+        Seq("l_returnflag"), offset = 25.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          floor(col("l_quantity_z") * 1000000).cast("long").as("q_z"),
+          floor(col("l_quantity_minmax") * 1000000).cast("long").as("q_minmax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // A9: second-moment statistics (sample var/stddev/covar/corr) with
     // the decimal-exact centered-sum recipe shared with the OLS oracle
     "q_a9_stats" -> ((s, dir) => {
@@ -1028,6 +1042,28 @@ object SparkEntry {
         |  ROUND(dxy / (n * (n - 1)), 6) AS covar_xy,
         |  ROUND(dxy / sqrt(dxx * dyy), 6) AS corr_xy
         |FROM b ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Profile.standardize: identical centered decimal sums,
+    // identical double expression, identical floor quantization
+    "q_standardize" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS nr,
+        |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity - 25.0 AS DECIMAL(19,6))
+        |           * CAST(l_quantity - 25.0 AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    sx / CAST(nr AS DOUBLE) + 25.0 AS mean,
+        |    sqrt((CAST(nr AS DOUBLE) * sxx - sx * sx)
+        |         / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1))) AS std,
+        |    mn, mx FROM a)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CAST(floor((l.l_quantity - b.mean) / b.std * 1000000) AS BIGINT) AS q_z,
+        |  CAST(floor((l.l_quantity - b.mn) / (b.mx - b.mn) * 1000000) AS BIGINT) AS q_minmax
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
 
     // mirrors Profile.winsorize + the summary agg: quantile_cont ≡
     // Spark percentile (same (n−1)·p linear interpolation)

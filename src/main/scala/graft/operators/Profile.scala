@@ -37,6 +37,38 @@ object Profile {
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
   }
 
+  /** Per-group feature scaling: adds `<valueCol>_z` (z-score against
+    * the group's mean and sample stddev) and `<valueCol>_minmax`
+    * ([0,1] min-max scaling) — the standard numeric-feature prep
+    * before training. Engine-reproducible by the [[stats2]] recipe:
+    * offset-centered decimal sums are exact and order-independent, and
+    * every downstream double op (÷, √, −) is IEEE-determined by them,
+    * so the raw z values are bit-identical across engines and
+    * repartitionings — no rounding inside the operator. Groups with
+    * zero spread yield null/∞ scores (undefined); same two-pass
+    * bounds-join shape as [[winsorize]]. */
+  def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  offset: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 6)
+    val xc = (col(valueCol) - offset).cast(dec)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("_n"), sum(xc).as("_sx"), sum(xc * xc).as("_sxx"),
+      min(col(valueCol)).as("_min"), max(col(valueCol)).as("_max"))
+    val n = col("_n").cast("double")
+    val sx = col("_sx").cast("double")
+    val dxx = n * col("_sxx").cast("double") - sx * sx
+    val bounds = agg.select(groupCols.map(col) :+
+      (sx / n + offset).as("_mean") :+
+      sqrt(dxx / (n * (n - 1))).as("_std") :+
+      col("_min") :+ col("_max"): _*)
+    df.join(bounds, groupCols)
+      .withColumn(valueCol + "_z",
+        (col(valueCol) - col("_mean")) / col("_std"))
+      .withColumn(valueCol + "_minmax",
+        (col(valueCol) - col("_min")) / (col("_max") - col("_min")))
+      .drop("_mean", "_std", "_min", "_max")
+  }
+
   /** Per-group second-moment statistics — sample variance/stddev of
     * `x`, sample covariance and Pearson correlation of `(x, y)` —
     * computed engine-reproducibly (DuckDB-oracle parity) the same way

@@ -200,6 +200,20 @@ class OperatorSpec extends SparkSpec {
     assert(kept2 === Set(21L))
   }
 
+  test("Profile.standardize: z-score and min-max match closed form") {
+    import graft.operators.Profile
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = Profile.standardize(df, "v", Seq("grp"), offset = 3.0)
+      .select("v", "v_z", "v_minmax").as[(Double, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // mean 3, sample std = sqrt(2.5)
+    val std = math.sqrt(2.5)
+    assert(math.abs(got(5.0)._1 - 2.0 / std) < 1e-12)
+    assert(math.abs(got(1.0)._1 + 2.0 / std) < 1e-12)
+    assert(got(3.0)._1 === 0.0)
+    assert(got(1.0)._2 === 0.0 && got(5.0)._2 === 1.0 && got(3.0)._2 === 0.5)
+  }
+
   test("Profile.winsorize clamps to interpolated per-group percentiles") {
     import graft.operators.Profile
     val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
