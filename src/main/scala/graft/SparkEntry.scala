@@ -611,6 +611,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup 3b: deterministic-hash MinHash+LSH — the SAME banding
+    // pipeline as q_dedup_minhash but with SQL-reproducible hashes
+    // (RollingFp mod 2³¹−1, affine signature family), so the whole
+    // LSH path runs under the full DuckDB oracle
+    "q_dedup_minhash_det" -> ((s, dir) => {
+      Dedup.minhashLshPairsDet(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, numHashes = 16, bands = 8, threshold = 0.05)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup 4: SimHash Hamming-band near-dup — no SQL oracle
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(
@@ -1493,6 +1504,56 @@ object SparkEntry {
         |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s)
         |SELECT s AS node, CAST(LEAST(s, MIN(dd)) AS BIGINT) AS cluster
         |FROM reach GROUP BY s ORDER BY node""".stripMargin,
+
+    // mirrors minhashLshPairsDet hash-for-hash: RollingFp fold mod
+    // 2³¹−1 per shingle, 16 affine min-signatures, 8 two-sig bands,
+    // band-key self-join, exact-Jaccard verify. The MIN list and band
+    // UNION are generated from the same (aᵢ, bᵢ) constants as the
+    // Scala side.
+    "q_dedup_minhash_det" -> {
+      val sigMins = (0 until 16).map { i =>
+        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 8).map { j =>
+        val (x, y) = (j * 2, j * 2 + 1)
+        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |fp AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 AS f
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigMins
+        |  FROM fp GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |JOIN sz sa ON sa.doc_id = c.doc_a
+        |JOIN sz sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) >= 0.05
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
 
     // same recursive reachability as q_dedup_cluster; drop every node
     // whose cluster label is not its own id

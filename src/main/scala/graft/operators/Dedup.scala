@@ -203,6 +203,58 @@ object Dedup {
     verified.select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Deterministic-hash MinHash+LSH: the identical
+    * shingle → signature → band → candidate → exact-Jaccard-verify
+    * pipeline as [[minhashLshPairs]], with the per-shingle hash swapped
+    * from xxhash64 to the transparent [[graft.functions.RollingFp]]
+    * codepoint fold reduced mod 2³¹−1 and the signature family to the
+    * affine (aᵢ·f + bᵢ) mod 2³¹−1 — every step reproducible in ANSI
+    * SQL, so the WHOLE LSH pipeline runs under the full DuckDB oracle.
+    * The xxhash64 variant stays the production default (better mixing);
+    * this is the byte-checkable face of the family, the `byModulo` to
+    * its `byHash`.
+    *
+    * Scale shape: explode → numHashes-way min aggregate — signatures
+    * partial-aggregate map-side (shuffle ∝ distinct (doc, shingle)),
+    * with no interpreted higher-order pass; banding and candidate
+    * generation are string-key equi-joins. */
+  def minhashLshPairsDet(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int, numHashes: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val P = 2147483647L   // 2^31 − 1: keeps aᵢ·f + bᵢ < 2^63 (ANSI-safe)
+    val shingled = docs.select(
+      col(idCol).as("doc"),
+      array_distinct(Text.shingles(col(textCol), w)).as("sh"))
+    val fp = shingled
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .withColumn("f", pmod(graft.functions.RollingFp(col("s")), lit(P)))
+    val sigCols = (0 until numHashes).map { i =>
+      min(pmod(col("f") * (1L + 7919L * i) + (12345L + 104729L * i), lit(P)))
+        .as(s"s$i")
+    }
+    val sigs = fp.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+    val banded = sigs.select(col("doc"), explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until r).map(k => col(s"s${j * r + k}")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(banded.select(col("doc").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Connected components over a near-dup pair list — turns pairwise
     * matches into dedup clusters (every doc labeled with the min doc id
     * reachable through match edges, transitively). Iterative

@@ -403,6 +403,19 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("Dedup.minhashLshPairsDet recalls a near-dup with the exact verified jaccard") {
+    val base = "a b c d e f g h i j"
+    val docs = Seq((1L, base), (2L, base + " k"), (3L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsDet(docs, "doc_id", "text",
+      w = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    // docs 1/2 share 8 of 9 distinct shingles → J = 8/9; identical sigs
+    // on the shared mins guarantee a band match at this similarity
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(math.abs(got.head._3 - 8.0 / 9.0) < 1e-12)
+  }
+
   test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
