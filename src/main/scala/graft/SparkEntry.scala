@@ -630,6 +630,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup 4b: deterministic-hash SimHash — same pigeonhole banding
+    // as q_dedup_simhash with SQL-reproducible hashes; every step is
+    // integer arithmetic, so the full oracle checks it bit-for-bit
+    "q_dedup_simhash_det" -> ((s, dir) => {
+      Dedup.simhashPairsDet(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", maxHamming = 7)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup 5: embedding cosine near-dup in LSH buckets — no SQL
     // oracle; recall vs the exact pair set is asserted in PlanSpec.
     // bits/tables sized like q_sim_ann for the near-random synthetic
@@ -1553,6 +1563,57 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = c.doc_b
         |WHERE CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) >= 0.05
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    // mirrors simhashPairsDet constant-for-constant: RollingFp fold mod
+    // 2³¹−1 per token, 64 affine ±1 sums, sign bits packed into two
+    // 32-bit halves, 8 byte-band keys, Hamming via xor+bit_count —
+    // integer arithmetic end to end
+    "q_dedup_simhash_det" -> {
+      val mSums = (0 until 64).map { b =>
+        s"SUM(CASE WHEN (f * ${7919L * b + 7L} + ${104729L * b + 9973L}) % 2147483647" +
+          s" >= 1073741824 THEN 1 ELSE -1 END) AS m$b"
+      }.mkString(",\n|    ")
+      def bitExpr(b: Int) = s"(CASE WHEN m$b > 0 THEN 1 ELSE 0 END)"
+      val lo = (0 until 32).map(b => s"${bitExpr(b)} * ${1L << b}").mkString(" + ")
+      val hi = (32 until 64).map(b => s"${bitExpr(b)} * ${1L << (b - 32)}").mkString(" + ")
+      val bandKeys = (0 until 8).map { j =>
+        (0 until 8).map(k => s"${bitExpr(j * 8 + k)} * ${1L << k}").mkString(" + ") +
+          s" AS k$j"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 8).map { j =>
+        s"SELECT doc_id, lo, hi, $j AS band, k$j AS key FROM pk"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM d),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 AS f
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id,
+        |    $mSums
+        |  FROM fp GROUP BY doc_id),
+        |pk AS (
+        |  SELECT doc_id,
+        |    CAST($lo AS BIGINT) AS lo,
+        |    CAST($hi AS BIGINT) AS hi,
+        |    $bandKeys
+        |  FROM s),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.lo AS lo_a, x.hi AS hi_a, y.lo AS lo_b, y.hi AS hi_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     // same recursive reachability as q_dedup_cluster; drop every node

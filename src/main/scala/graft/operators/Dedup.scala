@@ -364,6 +364,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Deterministic-hash SimHash — the oracle-checkable face of
+    * [[simhashPairs]], like [[minhashLshPairsDet]] is for MinHash: per
+    * token, the transparent RollingFp fold mod 2³¹−1 rehashed through
+    * 64 affine families decides the ±1 contribution per bit
+    * (top-half-of-range rule); the per-bit sums, sign bits, packed
+    * 32-bit halves, band keys, and Hamming verification are ALL integer
+    * arithmetic — bit-exactly reproducible in ANSI SQL with no float
+    * anywhere. Explode → 64-way sum aggregate (map-side combined);
+    * banding and verify mirror [[simhashPairs]]' pigeonhole scheme. */
+  def simhashPairsDet(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0, s"maxHamming+1 must divide 64, got $nBands")
+    val bandBits = 64 / nBands
+    val P = 2147483647L
+    val half = 1073741824L   // (P+1)/2: top half of the range → +1
+    val fp = docs
+      .select(col(idCol).as("doc"), explode(Text.tokens(col(textCol))).as("tk"))
+      .withColumn("f", pmod(graft.functions.RollingFp(col("tk")), lit(P)))
+    val sumCols = (0 until 64).map { b =>
+      sum(when(pmod(col("f") * (7919L * b + 7L) + (104729L * b + 9973L), lit(P))
+        >= half, 1).otherwise(-1)).as(s"m$b")
+    }
+    val sums = fp.groupBy("doc").agg(sumCols.head, sumCols.tail: _*)
+    def bit(b: Int) = when(col(s"m$b") > 0, 1L).otherwise(0L)
+    val lo = (0 until 32).map(b => bit(b) * (1L << b)).reduce(_ + _).as("lo")
+    val hi = (32 until 64).map(b => bit(b) * (1L << (b - 32))).reduce(_ + _).as("hi")
+    val bandKeys = (0 until nBands).map { j =>
+      (0 until bandBits).map(k => bit(j * bandBits + k) * (1L << k))
+        .reduce(_ + _).as(s"k$j")
+    }
+    val sigs = sums.select(col("doc") +: lo +: hi +: bandKeys: _*)
+    val banded = sigs.select(col("doc"), col("lo"), col("hi"),
+      explode(array((0 until nBands).map(j =>
+        struct(lit(j).as("band"), col(s"k$j").as("key"))): _*)).as("bk"))
+      .select(col("doc"), col("lo"), col("hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.select(col("doc").as("doc_a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a"), col("band"), col("key"))
+      .join(banded.select(col("doc").as("doc_b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding cosine near-dup inside hyperplane-LSH buckets: only
     * vectors whose sign-signatures collide are compared. Exact cosine
     * verification keeps precision at 1. */

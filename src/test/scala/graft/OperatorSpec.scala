@@ -416,6 +416,16 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 8.0 / 9.0) < 1e-12)
   }
 
+  test("Dedup.simhashPairsDet: identical docs at hamming 0, disjoint docs unpaired") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zq wx ee rr tt yy uu ii oo pp")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairsDet(docs, "doc_id", "text", maxHamming = 7)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 0)))
+  }
+
   test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
