@@ -653,6 +653,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup 5b: deterministic-hyperplane embedding near-dup — the
+    // oracle face of q_dedup_embed: hash-free hyperplanes plus strict
+    // left-to-right float folds make the doubles bit-identical in SQL.
+    // vec_id < 500 (the full set at small SFs): the interpreted folds
+    // that BUY the bit parity cost ~13 ms/vector, so the oracle query
+    // keeps a bounded slice; the codegen xxhash variant is the scale
+    // path.
+    "q_dedup_embed_det" -> ((s, dir) => {
+      Dedup.embeddingNearDupDet(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 4, tables = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Similarity 1: brute-force cosine top-k (exact baseline)
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1563,6 +1578,49 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = c.doc_b
         |WHERE CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) >= 0.05
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    // mirrors embeddingNearDupDet: same multiplicative-hash hyperplane
+    // rationals, same strict left-to-right folds (list_reduce ≡ the
+    // Spark aggregate lambda), same fold-quotient cosine — the doubles
+    // are bit-identical, so no rounding is applied at all
+    "q_dedup_embed_det" -> {
+      def dot(t: Int, b: Int): String = {
+        val k0 = (t.toLong * 4 + b) * 64
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
+          s"d -> CAST(v[d+1] AS DOUBLE) * (CAST((($k0 + d) * 2654435761) % 2001 " +
+          "- 1000 AS DOUBLE) / 1000.0))), (a, x) -> a + x)"
+      }
+      val keyExprs = (0 until 8).map { t =>
+        (0 until 4).map { b =>
+          s"(CASE WHEN ${dot(t, b)} >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ") + s" AS k$t"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 8).map { t =>
+        s"SELECT vec_id, v, $t AS band, k$t AS key FROM keys"
+      }.mkString("\n|  UNION ALL ")
+      def foldPair(x: String, y: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
+          s"d -> CAST($x[d+1] AS DOUBLE) * CAST($y[d+1] AS DOUBLE))), (a, x) -> a + x)"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 500),
+        |keys AS (
+        |  SELECT vec_id, v,
+        |    $keyExprs
+        |  FROM e),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    x.v AS va, y.v AS vb
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    ${foldPair("va", "vb")} /
+        |      sqrt(${foldPair("va", "va")} * ${foldPair("vb", "vb")}) AS cos
+        |  FROM cand)
+        |SELECT id_a, id_b, cos FROM scored
+        |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
     },
 
     // mirrors simhashPairsDet constant-for-constant: RollingFp fold mod

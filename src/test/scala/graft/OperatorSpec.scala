@@ -426,6 +426,23 @@ class OperatorSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0)))
   }
 
+  test("Dedup.embeddingNearDupDet pairs near-parallel vectors, not orthogonal ones") {
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val embs = Seq(
+      (1L, vec(d => if (d == 0) 1f else 0f)),
+      (2L, vec(d => if (d == 0) 0.9f else if (d == 1) 0.1f else 0f)),
+      (3L, vec(d => if (d == 63) 1f else 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupDet(embs, "vec_id", "embedding",
+      dim = dim, threshold = 0.35, bits = 4, tables = 8)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    // 1e-6 tolerance: the fixture's 0.9f/0.1f floats are not the exact
+    // doubles 0.9/0.1 of this closed form
+    assert(math.abs(got.head._3 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
   test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
