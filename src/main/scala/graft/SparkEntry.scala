@@ -697,6 +697,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Similarity 2b: deterministic-hyperplane ANN — the oracle face of
+    // q_sim_ann; bounded corpus slice for the same reason as
+    // q_dedup_embed_det (the folds that buy parity are interpreted)
+    "q_sim_ann_det" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bucketedTopKDet(
+        e.filter(col("vec_id") < 50), e.filter(col("vec_id") < 500),
+        "vec_id", "embedding", dim = 64, k = 5, bits = 4, tables = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     // Text 1: token counts (whitespace + BPE-ish regex) + quality features
     "q_text_stats" -> ((s, dir) => {
       Text.qualityFeatures(t(s, dir, "documents"), "text", stopwords = Seq("the", "a"))
@@ -1013,6 +1024,31 @@ object SparkEntry {
     * mirrors `Dedup.shingleIndex` exactly: docs with <3 tokens produce
     * no shingles, and shingles in more than 100 docs (stop-shingles)
     * are dropped before sizes/intersections (maxBucket = 100). */
+  /** DuckDB fragment: the det-hyperplane fold-dot of `$vec` with
+    * rational hyperplane (t, b) — mirrors `Vectors.detHyperplaneKeys`'
+    * weight formula and fold order exactly (bits=4, dim=64). */
+  private def detDotSql(t: Int, b: Int, vec: String): String = {
+    val k0 = (t.toLong * 4 + b) * 64
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
+      s"d -> CAST($vec[d+1] AS DOUBLE) * (CAST((($k0 + d) * 2654435761) % 2001 " +
+      "- 1000 AS DOUBLE) / 1000.0))), (a, x) -> a + x)"
+  }
+
+  /** DuckDB fragment: the 8 det-hyperplane bucket keys k0..k7 of
+    * `$vec` (tables=8, bits=4). */
+  private def detKeyExprsSql(vec: String): String =
+    (0 until 8).map { t =>
+      (0 until 4).map { b =>
+        s"(CASE WHEN ${detDotSql(t, b, vec)} >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ") + s" AS k$t"
+    }.mkString(",\n|    ")
+
+  /** DuckDB fragment: strict left-to-right fold dot of two 64-dim
+    * vectors — `list_reduce` in exactly `Vectors.dotFold`'s order. */
+  private def detFoldPairSql(x: String, y: String): String =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
+      s"d -> CAST($x[d+1] AS DOUBLE) * CAST($y[d+1] AS DOUBLE))), (a, x) -> a + x)"
+
   private val jaccardShingleCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
       |ix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 2))) AS i FROM d),
@@ -1585,23 +1621,11 @@ object SparkEntry {
     // Spark aggregate lambda), same fold-quotient cosine — the doubles
     // are bit-identical, so no rounding is applied at all
     "q_dedup_embed_det" -> {
-      def dot(t: Int, b: Int): String = {
-        val k0 = (t.toLong * 4 + b) * 64
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
-          s"d -> CAST(v[d+1] AS DOUBLE) * (CAST((($k0 + d) * 2654435761) % 2001 " +
-          "- 1000 AS DOUBLE) / 1000.0))), (a, x) -> a + x)"
-      }
-      val keyExprs = (0 until 8).map { t =>
-        (0 until 4).map { b =>
-          s"(CASE WHEN ${dot(t, b)} >= 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ") + s" AS k$t"
-      }.mkString(",\n|    ")
+      val keyExprs = detKeyExprsSql("v")
       val bandSelects = (0 until 8).map { t =>
         s"SELECT vec_id, v, $t AS band, k$t AS key FROM keys"
       }.mkString("\n|  UNION ALL ")
-      def foldPair(x: String, y: String): String =
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
-          s"d -> CAST($x[d+1] AS DOUBLE) * CAST($y[d+1] AS DOUBLE))), (a, x) -> a + x)"
+      val foldPair = detFoldPairSql _
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 500),
         |keys AS (
         |  SELECT vec_id, v,
@@ -1704,6 +1728,45 @@ object SparkEntry {
         |JOIN sz cb ON cb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors bucketedTopKDet: det-hyperplane keys on both sides, band
+    // join, fold cosine, (cos DESC, n_id) row_number — bit-exact, no
+    // rounding (same parity recipe as q_dedup_embed_det)
+    "q_sim_ann_det" -> {
+      val bandArms = (side: String) => (0 until 8).map { t =>
+        s"SELECT vec_id, v, $t AS band, k$t AS key FROM ${side}keys"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH qe AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 50),
+        |ce AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 500),
+        |qkeys AS (
+        |  SELECT vec_id, v,
+        |    ${detKeyExprsSql("v")}
+        |  FROM qe),
+        |ckeys AS (
+        |  SELECT vec_id, v,
+        |    ${detKeyExprsSql("v")}
+        |  FROM ce),
+        |qbands AS (
+        |  ${bandArms("q")}),
+        |cbands AS (
+        |  ${bandArms("c")}),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    q.v AS qv, c.v AS cv
+        |  FROM qbands q JOIN cbands c ON q.band = c.band AND q.key = c.key
+        |  WHERE q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    ${detFoldPairSql("qv", "cv")} /
+        |      sqrt(${detFoldPairSql("qv", "qv")} * ${detFoldPairSql("cv", "cv")}) AS cos
+        |  FROM cand),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 50),

@@ -431,35 +431,16 @@ object Dedup {
   def embeddingNearDupDet(embs: DataFrame, idCol: String, vecCol: String,
                           dim: Int, threshold: Double,
                           bits: Int = 4, tables: Int = 8): DataFrame = {
-    def weight(t: Int, b: Int)(d: Column): Column =
-      (pmod((lit(((t.toLong * bits + b) * dim)) + d.cast("long")) * 2654435761L,
-        lit(2001L)) - 1000L).cast("double") / 1000.0
-    def dotW(t: Int, b: Int): Column =
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
-        acc + element_at(col("v"), d + 1).cast("double") * weight(t, b)(d))
-    val withKeys = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id") +: col("v") +: (0 until tables).map { t =>
-        (0 until bits).map(b => when(dotW(t, b) >= 0, 1L << b).otherwise(0L))
-          .reduce(_ + _).as(s"k$t")
-      }: _*)
-    val banded = withKeys.select(col("id"), col("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), col(s"k$t").as("key"))): _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.t").as("t"), col("bk.key").as("key"))
-    def fold(body: (Column, Column) => Column): Column =
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), body)
+    val banded = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(Vectors.detHyperplaneKeys(col(vecCol), dim, bits, tables))
+        .as(Seq("t", "key")))
     banded.select(col("id").as("id_a"), col("v").as("v_a"), col("t"), col("key"))
       .join(banded.select(col("id").as("id_b"), col("v").as("v_b"),
         col("t"), col("key")), Seq("t", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
       .select(col("id_a"), col("id_b"),
-        (fold((acc, d) => acc + element_at(col("v_a"), d + 1).cast("double") *
-          element_at(col("v_b"), d + 1).cast("double")) /
-          sqrt(fold((acc, d) => acc + element_at(col("v_a"), d + 1).cast("double") *
-              element_at(col("v_a"), d + 1).cast("double")) *
-            fold((acc, d) => acc + element_at(col("v_b"), d + 1).cast("double") *
-              element_at(col("v_b"), d + 1).cast("double")))).as("cos"))
+        Vectors.cosineFold(col("v_a"), col("v_b"), dim).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

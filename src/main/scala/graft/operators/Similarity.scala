@@ -67,6 +67,32 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic-hyperplane ANN top-k — the oracle-checkable face of
+    * [[bucketedTopK]] (see [[graft.operators.Dedup.embeddingNearDupDet]]
+    * for the parity recipe): hash-free rational hyperplanes
+    * ([[Vectors.detHyperplaneKeys]]) and strict left-to-right fold
+    * cosine ([[Vectors.cosineFold]]) make every double bit-identical in
+    * ANSI SQL, so candidate generation, scoring, and ranking all
+    * hash-match the DuckDB oracle with no rounding. */
+  def bucketedTopKDet(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, dim: Int, k: Int,
+                      bits: Int = 4, tables: Int = 8): DataFrame = {
+    def bucketize(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v),
+        posexplode(Vectors.detHyperplaneKeys(col(v), dim, bits, tables))
+          .as(Seq("t", "key")))
+    val q = bucketize(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
+    val c = bucketize(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v")
+    val cand = q.join(c, Seq("t", "key")).filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_v", "n_id", "n_v").distinct()
+    val scored = cand.withColumn("cos",
+      Vectors.cosineFold(col("q_v"), col("n_v"), dim))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** Bucketed (IVF/LSH) ANN top-k: candidates = corpus vectors sharing
     * any of `tables` hyperplane buckets with the query; exact cosine +
     * top-k within candidates. Recall grows with `tables`, cost with

@@ -443,6 +443,24 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
   }
 
+  test("Similarity.bucketedTopKDet ranks the true nearest neighbor first") {
+    import graft.operators.Similarity
+    val dim = 64
+    def vec(f: Int => Float) = (0 until dim).map(f).toArray
+    val base = vec(d => if (d < 4) 1f else 0f)
+    val embs = Seq(
+      (1L, base),
+      (2L, vec(d => if (d < 4) 1f else if (d == 5) 0.1f else 0f)),  // near 1
+      (3L, vec(d => if (d >= 60) 1f else 0f))                        // far
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bucketedTopKDet(
+      embs.filter(col("vec_id") === 1L), embs, "vec_id", "embedding",
+      dim = dim, k = 2, bits = 4, tables = 8)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(got.head === ((1L, 2L, 1)))   // near-parallel vector ranks first
+  }
+
   test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
