@@ -1768,6 +1768,44 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
+    // graduates q_sim_ivf to a full oracle: its quantizer was always
+    // deterministic (first-16 centroids, max-dot assignment with
+    // (dot DESC, cent_id) tie-break), and the fused DotProduct /
+    // CosineSim expressions accumulate strictly left-to-right — the
+    // same order as list_reduce — so every double matches bit-for-bit;
+    // cos keeps the query's 6-dp round, mirrored here
+    "q_sim_ivf" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_v
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |corpus AS (SELECT vec_id AS n_id, embedding AS n_v FROM embeddings),
+        |cassign AS (
+        |  SELECT n_id, n_v, cell FROM (
+        |    SELECT n_id, n_v, cent_id AS cell,
+        |      row_number() OVER (PARTITION BY n_id
+        |        ORDER BY ${detFoldPairSql("n_v", "cent_v")} DESC, cent_id) AS rn
+        |    FROM corpus CROSS JOIN cents) WHERE rn <= 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_v
+        |      FROM embeddings WHERE vec_id < 50),
+        |qassign AS (
+        |  SELECT q_id, q_v, cell FROM (
+        |    SELECT q_id, q_v, cent_id AS cell,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ${detFoldPairSql("q_v", "cent_v")} DESC, cent_id) AS rn
+        |    FROM q CROSS JOIN cents) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    ROUND(${detFoldPairSql("q_v", "n_v")} /
+        |      (sqrt(${detFoldPairSql("q_v", "q_v")}) *
+        |       sqrt(${detFoldPairSql("n_v", "n_v")})), 6) AS cos
+        |  FROM qassign JOIN cassign USING (cell) WHERE q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 50),
         |pairs AS (
