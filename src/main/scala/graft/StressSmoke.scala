@@ -27,8 +27,11 @@ object StressSmoke {
     * `documents`/`embeddings` and has a linear-or-better scale design.
     * Excluded by design: q_sim_topk (the documented quadratic exact-ANN
     * baseline), the TPC-H/events queries (their tables aren't scaled
-    * here), and q_dedup_cluster_apply (its cost is the q_dedup_cluster
-    * iteration already in the pack plus one anti-join). */
+    * here), q_dedup_cluster_apply (its cost is the q_dedup_cluster
+    * iteration already in the pack plus one anti-join), and the four
+    * deterministic oracle twins (q_dedup_minhash_det / simhash_det /
+    * embed_det / q_sim_ann_det — their doc_id/vec_id < 500 slices are
+    * fixed-size at every SF, so a 10x probe would measure nothing). */
   val stressQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_apply", "q_dedup_jaccard", "q_dedup_cluster",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",

@@ -192,16 +192,24 @@ object Dedup {
       .join(banded.select(col("doc").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates exactly on the precomputed shingle sets
-    val verified = cand
+    verifyJaccard(cand, shingled, threshold)
+  }
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs on
+    * precomputed distinct-shingle arrays — shared by both MinHash
+    * variants so the oracle-checkable twin can never drift from the
+    * production one. LSH thus only ever affects recall, not
+    * precision. */
+  private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
       .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
       .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-    verified.select("doc_a", "doc_b", "jaccard")
-  }
+      .select("doc_a", "doc_b", "jaccard")
 
   /** Deterministic-hash MinHash+LSH: the identical
     * shingle → signature → band → candidate → exact-Jaccard-verify
@@ -245,14 +253,7 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
-      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(cand, shingled, threshold)
   }
 
   /** Connected components over a near-dup pair list — turns pairwise
@@ -416,6 +417,22 @@ object Dedup {
   /** Embedding cosine near-dup inside hyperplane-LSH buckets: only
     * vectors whose sign-signatures collide are compared. Exact cosine
     * verification keeps precision at 1. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double,
+                       bits: Int = 8, tables: Int = 4): DataFrame = {
+    val bucketed = embs.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
+        .as(Seq("t", "b")))
+      .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
+    bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic-hyperplane embedding near-dup — the oracle-checkable
     * face of [[embeddingNearDup]], completing the det-hash trio with
     * [[minhashLshPairsDet]] and [[simhashPairsDet]]. Hyperplane
@@ -441,22 +458,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
       .select(col("id_a"), col("id_b"),
         Vectors.cosineFold(col("v_a"), col("v_b"), dim).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
-
-  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, threshold: Double,
-                       bits: Int = 8, tables: Int = 4): DataFrame = {
-    val bucketed = embs.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
-        .as(Seq("t", "b")))
-      .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
-    bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
-      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bk")), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }

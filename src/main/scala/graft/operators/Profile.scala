@@ -30,11 +30,23 @@ object Profile {
                 lo: Double, hi: Double): DataFrame = {
     require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo/$hi")
     val bounds = df.groupBy(groupCols.map(col): _*).agg(
-      expr(s"percentile($valueCol, $lo)").as("_lo"),
-      expr(s"percentile($valueCol, $hi)").as("_hi"))
-    df.join(bounds, groupCols)
+      percentile(col(valueCol), lit(lo)).as("_lo"),
+      percentile(col(valueCol), lit(hi)).as("_hi"))
+    joinBounds(df, bounds, groupCols)
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
+  }
+
+  /** Join `df` back to its per-group `bounds` table NULL-SAFELY on the
+    * group keys: groupBy puts rows with a null key into their own
+    * group, and a plain (null-unsafe) equi-join would silently DROP
+    * every such row on the way back — an outlier/scaling pass must
+    * never delete data. */
+  private def joinBounds(df: DataFrame, bounds: DataFrame,
+                         groupCols: Seq[String]): DataFrame = {
+    val renamed = groupCols.foldLeft(bounds)((b, c) => b.withColumnRenamed(c, "_g_" + c))
+    val cond = groupCols.map(c => col(c) <=> col("_g_" + c)).reduce(_ && _)
+    df.join(renamed, cond).drop(groupCols.map("_g_" + _): _*)
   }
 
   /** Per-group feature scaling: adds `<valueCol>_z` (z-score against
@@ -44,12 +56,17 @@ object Profile {
     * offset-centered decimal sums are exact and order-independent, and
     * every downstream double op (÷, √, −) is IEEE-determined by them,
     * so the raw z values are bit-identical across engines and
-    * repartitionings — no rounding inside the operator. Groups with
-    * zero spread yield null/∞ scores (undefined); same two-pass
-    * bounds-join shape as [[winsorize]]. */
+    * repartitionings — no rounding inside the operator. The centered
+    * sums carry DECIMAL(19,6): centered values must stay below 10¹³
+    * in magnitude (ANSI overflow otherwise — pick `offset` near the
+    * data's center) and are quantized at the 6-dp scale, so sums are
+    * exact for inputs with ≤ 6 decimal places (prices, counts,
+    * quantities — the usual case). Groups with zero spread yield
+    * null/∞ scores (undefined); same two-pass bounds-join shape as
+    * [[winsorize]]. */
   def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   offset: Double): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(12, 6)
+    val dec = org.apache.spark.sql.types.DecimalType(19, 6)
     val xc = (col(valueCol) - offset).cast(dec)
     val agg = df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("_n"), sum(xc).as("_sx"), sum(xc * xc).as("_sxx"),
@@ -61,7 +78,7 @@ object Profile {
       (sx / n + offset).as("_mean") :+
       sqrt(dxx / (n * (n - 1))).as("_std") :+
       col("_min") :+ col("_max"): _*)
-    df.join(bounds, groupCols)
+    joinBounds(df, bounds, groupCols)
       .withColumn(valueCol + "_z",
         (col(valueCol) - col("_mean")) / col("_std"))
       .withColumn(valueCol + "_minmax",

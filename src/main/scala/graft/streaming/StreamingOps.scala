@@ -98,24 +98,6 @@ object StreamingOps {
     * kept-row choice (arrival order) and the fingerprint function
     * (md5-of-normalized-text) identical to the batch operator so batch
     * and stream agree row-for-row. */
-  /** Bounded-state streaming dedup: drop rows whose content fingerprint
-    * was already seen, with state expired by the event-time watermark —
-    * the production answer to [[dedupExact]]'s unbounded fingerprint
-    * state on an infinite stream. Correct under the standard streaming
-    * dedup contract: duplicates are guaranteed dropped only when they
-    * arrive within `delay` of the first occurrence's event time, which
-    * is the right trade on a 100 TB/day firehose where near-in-time
-    * duplicates dominate (cross-epoch dedup belongs to the batch
-    * ledger, [[graft.operators.Dedup.applyExactIncremental]]).
-    * `tsCol` must be a timestamp column (see [[tsCol]]). */
-  def dedupExactWatermarked(docs: DataFrame, idCol: String, textCol: String,
-                            eventTimeCol: String, delay: String): DataFrame =
-    docs
-      .withColumn("fp", graft.functions.Text.fingerprintMd5(col(textCol)))
-      .withWatermark(eventTimeCol, delay)
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp")
-
   def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -138,6 +120,27 @@ object StreamingOps {
       }
       .toDF(idCol, textCol)
   }
+
+  /** Bounded-state streaming dedup: drop rows whose content fingerprint
+    * was already seen, with state expired by the event-time watermark —
+    * the production answer to [[dedupExact]]'s unbounded fingerprint
+    * state on an infinite stream. Correct under the standard streaming
+    * dedup contract: duplicates are guaranteed dropped only when they
+    * arrive within `delay` of the first occurrence's event time, which
+    * is the right trade on a 100 TB/day firehose where near-in-time
+    * duplicates dominate (cross-epoch dedup belongs to the batch
+    * ledger, [[graft.operators.Dedup.applyExactIncremental]]). The kept
+    * row is the first ARRIVAL (there is no min-id re-pick within a
+    * micro-batch — use [[dedupExact]] for that rule); `eventTimeCol`
+    * must already be a timestamp column (see [[tsCol]] for the
+    * nanos-long conversion). */
+  def dedupExactWatermarked(docs: DataFrame, textCol: String,
+                            eventTimeCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.Text.fingerprintMd5(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
 
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._

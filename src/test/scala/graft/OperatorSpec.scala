@@ -224,6 +224,19 @@ class OperatorSpec extends SparkSpec {
     assert(w(5.0) === 5.0)   // interior values untouched
   }
 
+  test("Profile.winsorize/standardize keep rows whose group key is NULL") {
+    import graft.operators.Profile
+    val df = Seq(("g", 1.0), ("g", 2.0), (null, 5.0), (null, 7.0))
+      .toDF("grp", "v")
+    assert(Profile.winsorize(df, "v", Seq("grp"), 0.1, 0.9).count() === 4)
+    val z = Profile.standardize(df, "v", Seq("grp"), offset = 0.0)
+    assert(z.count() === 4)
+    // the NULL group standardizes against its own stats (mean 6)
+    val nullZ = z.filter(col("grp").isNull).select("v", "v_minmax")
+      .as[(Double, Double)].collect().toMap
+    assert(nullZ(5.0) === 0.0 && nullZ(7.0) === 1.0)
+  }
+
   test("Dedup.applyNearDups keeps cluster representatives and unclustered docs") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("doc_id", "text")

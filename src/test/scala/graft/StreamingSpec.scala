@@ -127,7 +127,7 @@ class StreamingSpec extends SparkSpec {
     val docs = in.toDF().toDF("doc_id", "text", "sec")
       .withColumn("event_time", timestamp_seconds(col("sec")))
     val out = StreamingOps.dedupExactWatermarked(
-      docs, "doc_id", "text", "event_time", delay = "1 hour")
+      docs, "text", "event_time", delay = "1 hour")
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("sdw_out").start()
     // batch 1: first arrival of "a"; batch 2: a dup of "a" 10 min later
