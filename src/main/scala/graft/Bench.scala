@@ -32,7 +32,17 @@ object Bench {
     // happy-path shape is unchanged round over round
     val failuresField =
       if (failures.isEmpty) "" else s""","failures":${failures.mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField}"""
+    println(json)
+    // Also persist to a file: the driver captures sbt stdout with a tail
+    // window, which has truncated the (large) JSON line before — the file is
+    // the durable artifact, stdout the human-readable echo.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"bench artifact write to $out failed: ${e.getMessage}") }
     spark.stop()
   }
 }

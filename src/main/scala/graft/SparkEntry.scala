@@ -526,6 +526,29 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // q_profile in its 100 TB mode: approx_count_distinct (HLL++ — ONE
+    // agg, no per-column input expansion) instead of exact
+    // countDistinct. The HLL estimate is engine-specific, so the gate
+    // exports it as a BOUND CHECK: the estimate must sit within ±15%
+    // (3× the default 5% rsd) of the exact count, which the oracle
+    // asserts as a constant TRUE; every other column is exactly
+    // oracled like q_profile. The exact profile here is the gate's
+    // ground truth only — production runs the approx side alone.
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val li = t(s, dir, "lineitem")
+      val ap = Profile.profile(li, cols, approxDistinct = true)
+      val ex = Profile.profile(li, cols)
+        .select(col("col_name"), col("n_distinct").as("_nd_exact"))
+      ap.join(ex, "col_name")
+        .withColumn("distinct_in_bounds",
+          abs(col("n_distinct").cast("double") / col("_nd_exact").cast("double")
+            - 1.0) <= 0.15)
+        .select("col_name", "n_rows", "n_null", "distinct_in_bounds",
+          "min_val", "max_val", "mean_val")
+        .orderBy("col_name")
+    }),
+
     // ---- training-data extensions -------------------------------------
 
     // Dedup 1: exact (hash group-by on normalized content)
@@ -603,7 +626,10 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // Dedup 3: MinHash+LSH with exact-Jaccard verification — no SQL oracle
+    // Dedup 3: MinHash+LSH with exact-Jaccard verification. Default
+    // DetHash family (RollingFp mod 2³¹−1, affine signatures) — the
+    // whole LSH path runs under the full DuckDB oracle; the xxhash64
+    // family is spec-gated (recall vs exact pairs) in OperatorSpec.
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(
         t(s, dir, "documents").filter(col("doc_id") < 500),
@@ -611,18 +637,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup 3b: deterministic-hash MinHash+LSH — the SAME banding
-    // pipeline as q_dedup_minhash but with SQL-reproducible hashes
-    // (RollingFp mod 2³¹−1, affine signature family), so the whole
-    // LSH path runs under the full DuckDB oracle
-    "q_dedup_minhash_det" -> ((s, dir) => {
-      Dedup.minhashLshPairsDet(
-        t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", w = 3, numHashes = 16, bands = 8, threshold = 0.05)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // Dedup 4: SimHash Hamming-band near-dup — no SQL oracle
+    // Dedup 4: SimHash Hamming-band near-dup. Default DetHash family:
+    // every step is integer arithmetic, so the full oracle checks it
+    // bit-for-bit; pigeonhole banding identical to the xxhash64 arm.
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(
         t(s, dir, "documents").filter(col("doc_id") < 500),
@@ -630,38 +647,15 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Dedup 4b: deterministic-hash SimHash — same pigeonhole banding
-    // as q_dedup_simhash with SQL-reproducible hashes; every step is
-    // integer arithmetic, so the full oracle checks it bit-for-bit
-    "q_dedup_simhash_det" -> ((s, dir) => {
-      Dedup.simhashPairsDet(
-        t(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", maxHamming = 7)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // Dedup 5: embedding cosine near-dup in LSH buckets — no SQL
-    // oracle; recall vs the exact pair set is asserted in PlanSpec.
-    // bits/tables sized like q_sim_ann for the near-random synthetic
-    // vectors (real near-dup corpora have cos≈0.9+ pairs and keep
-    // recall at far fewer probes).
+    // Dedup 5: embedding cosine near-dup in LSH buckets. Default
+    // DetHash hyperplanes + strict left-to-right float folds make the
+    // doubles bit-identical in SQL (full oracle). vec_id < 500 (the
+    // full set at small SFs): the interpreted folds that BUY the bit
+    // parity cost ~13 ms/vector, so the oracle query keeps a bounded
+    // slice; the codegen XxHash64 arm is the throughput path and is
+    // recall-gated in PlanSpec + stress-probed in StressSmoke.
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embeddingNearDup(
-        t(s, dir, "embeddings").filter(col("vec_id") < 1000),
-        "vec_id", "embedding", dim = 64, threshold = 0.35,
-        bits = 4, tables = 8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Dedup 5b: deterministic-hyperplane embedding near-dup — the
-    // oracle face of q_dedup_embed: hash-free hyperplanes plus strict
-    // left-to-right float folds make the doubles bit-identical in SQL.
-    // vec_id < 500 (the full set at small SFs): the interpreted folds
-    // that BUY the bit parity cost ~13 ms/vector, so the oracle query
-    // keeps a bounded slice; the codegen xxhash variant is the scale
-    // path.
-    "q_dedup_embed_det" -> ((s, dir) => {
-      Dedup.embeddingNearDupDet(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
         "vec_id", "embedding", dim = 64, threshold = 0.35,
         bits = 4, tables = 8)
@@ -685,26 +679,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // Similarity 2: LSH-bucketed ANN top-k (the scale path) — no SQL
-    // oracle; recall@5 vs the exact baseline is asserted in PlanSpec.
-    // bits/tables sized for the synthetic embeddings (near-random, max
-    // pairwise cos ≈ 0.5): p ≈ (1−θ/π)^bits per table.
+    // Similarity 2: LSH-bucketed ANN top-k. Default DetHash
+    // hyperplanes — candidate generation, scoring, and ranking all
+    // hash-match the oracle with no rounding; bounded corpus slice for
+    // the same reason as q_dedup_embed (the folds that buy parity are
+    // interpreted). The codegen XxHash64 arm is recall-gated in
+    // PlanSpec and stress-probed in StressSmoke. bits/tables sized for
+    // the synthetic embeddings (near-random, max pairwise cos ≈ 0.5):
+    // p ≈ (1−θ/π)^bits per table; 12 tables (vs the near-dup ops' 8)
+    // because top-k recall is gated against the exact baseline and the
+    // synthetic vectors are near-random — real corpora with cos≈0.9
+    // neighbors keep recall at far fewer probes.
     "q_sim_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bucketedTopK(
-        e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
-        dim = 64, k = 5, bits = 4, tables = 8)
-        .orderBy("q_id", "rank")
-    }),
-
-    // Similarity 2b: deterministic-hyperplane ANN — the oracle face of
-    // q_sim_ann; bounded corpus slice for the same reason as
-    // q_dedup_embed_det (the folds that buy parity are interpreted)
-    "q_sim_ann_det" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Similarity.bucketedTopKDet(
         e.filter(col("vec_id") < 50), e.filter(col("vec_id") < 500),
-        "vec_id", "embedding", dim = 64, k = 5, bits = 4, tables = 8)
+        "vec_id", "embedding", dim = 64, k = 5, bits = 4, tables = 12)
         .orderBy("q_id", "rank")
     }),
 
@@ -1034,10 +1024,10 @@ object SparkEntry {
       "- 1000 AS DOUBLE) / 1000.0))), (a, x) -> a + x)"
   }
 
-  /** DuckDB fragment: the 8 det-hyperplane bucket keys k0..k7 of
-    * `$vec` (tables=8, bits=4). */
-  private def detKeyExprsSql(vec: String): String =
-    (0 until 8).map { t =>
+  /** DuckDB fragment: the det-hyperplane bucket keys k0..k{tables-1}
+    * of `$vec` (bits=4). */
+  private def detKeyExprsSql(vec: String, tables: Int = 8): String =
+    (0 until tables).map { t =>
       (0 until 4).map { b =>
         s"(CASE WHEN ${detDotSql(t, b, vec)} >= 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ") + s" AS k$t"
@@ -1527,6 +1517,21 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
+    // the HLL estimate itself is engine-specific, so the oracle pins
+    // the BOUND (±15% of exact, asserted TRUE) and checks everything
+    // else exactly — a hash match means Spark's estimate held the bound
+    "q_profile_approx" -> {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  TRUE AS distinct_in_bounds,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val, CAST(MAX($c) AS DOUBLE) AS max_val,
+           |  ${dsumSql(c)} / COUNT($c) AS mean_val
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     "q_dedup_apply" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
@@ -1566,12 +1571,12 @@ object SparkEntry {
         |SELECT s AS node, CAST(LEAST(s, MIN(dd)) AS BIGINT) AS cluster
         |FROM reach GROUP BY s ORDER BY node""".stripMargin,
 
-    // mirrors minhashLshPairsDet hash-for-hash: RollingFp fold mod
-    // 2³¹−1 per shingle, 16 affine min-signatures, 8 two-sig bands,
-    // band-key self-join, exact-Jaccard verify. The MIN list and band
-    // UNION are generated from the same (aᵢ, bᵢ) constants as the
-    // Scala side.
-    "q_dedup_minhash_det" -> {
+    // mirrors the DetHash arm of minhashLshPairs hash-for-hash:
+    // RollingFp fold mod 2³¹−1 per shingle, 16 affine min-signatures,
+    // 8 two-sig bands, band-key self-join, exact-Jaccard verify. The
+    // MIN list and band UNION are generated from the same (aᵢ, bᵢ)
+    // constants as the Scala side.
+    "q_dedup_minhash" -> {
       val sigMins = (0 until 16).map { i =>
         s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
       }.mkString(",\n|    ")
@@ -1616,11 +1621,12 @@ object SparkEntry {
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
     },
 
-    // mirrors embeddingNearDupDet: same multiplicative-hash hyperplane
-    // rationals, same strict left-to-right folds (list_reduce ≡ the
-    // Spark aggregate lambda), same fold-quotient cosine — the doubles
-    // are bit-identical, so no rounding is applied at all
-    "q_dedup_embed_det" -> {
+    // mirrors the DetHash arm of embeddingNearDup: same
+    // multiplicative-hash hyperplane rationals, same strict
+    // left-to-right folds (list_reduce ≡ the Spark aggregate lambda),
+    // same fold-quotient cosine — the doubles are bit-identical, so no
+    // rounding is applied at all
+    "q_dedup_embed" -> {
       val keyExprs = detKeyExprsSql("v")
       val bandSelects = (0 until 8).map { t =>
         s"SELECT vec_id, v, $t AS band, k$t AS key FROM keys"
@@ -1647,11 +1653,11 @@ object SparkEntry {
         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
     },
 
-    // mirrors simhashPairsDet constant-for-constant: RollingFp fold mod
-    // 2³¹−1 per token, 64 affine ±1 sums, sign bits packed into two
-    // 32-bit halves, 8 byte-band keys, Hamming via xor+bit_count —
-    // integer arithmetic end to end
-    "q_dedup_simhash_det" -> {
+    // mirrors the DetHash arm of simhashPairs constant-for-constant:
+    // RollingFp fold mod 2³¹−1 per token, 64 affine ±1 sums, sign bits
+    // packed into two 32-bit halves, 8 byte-band keys, Hamming via
+    // xor+bit_count — integer arithmetic end to end
+    "q_dedup_simhash" -> {
       val mSums = (0 until 64).map { b =>
         s"SUM(CASE WHEN (f * ${7919L * b + 7L} + ${104729L * b + 9973L}) % 2147483647" +
           s" >= 1073741824 THEN 1 ELSE -1 END) AS m$b"
@@ -1670,9 +1676,10 @@ object SparkEntry {
         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM d),
         |fp AS (
         |  SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 AS f
+        |    CASE WHEN tk = '' THEN 0 ELSE
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 END AS f
         |  FROM tok),
         |s AS (
         |  SELECT doc_id,
@@ -1729,22 +1736,22 @@ object SparkEntry {
         |WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // mirrors bucketedTopKDet: det-hyperplane keys on both sides, band
-    // join, fold cosine, (cos DESC, n_id) row_number — bit-exact, no
-    // rounding (same parity recipe as q_dedup_embed_det)
-    "q_sim_ann_det" -> {
-      val bandArms = (side: String) => (0 until 8).map { t =>
+    // mirrors the DetHash arm of bucketedTopK: det-hyperplane keys on
+    // both sides, band join, fold cosine, (cos DESC, n_id) row_number —
+    // bit-exact, no rounding (same parity recipe as q_dedup_embed)
+    "q_sim_ann" -> {
+      val bandArms = (side: String) => (0 until 12).map { t =>
         s"SELECT vec_id, v, $t AS band, k$t AS key FROM ${side}keys"
       }.mkString("\n|  UNION ALL ")
       s"""WITH qe AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 50),
         |ce AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 500),
         |qkeys AS (
         |  SELECT vec_id, v,
-        |    ${detKeyExprsSql("v")}
+        |    ${detKeyExprsSql("v", tables = 12)}
         |  FROM qe),
         |ckeys AS (
         |  SELECT vec_id, v,
-        |    ${detKeyExprsSql("v")}
+        |    ${detKeyExprsSql("v", tables = 12)}
         |  FROM ce),
         |qbands AS (
         |  ${bandArms("q")}),

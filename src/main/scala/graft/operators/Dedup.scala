@@ -78,17 +78,32 @@ object Dedup {
     * only — a long per distinct content) is cached so the bloom build
     * and the semi-join share one aggregation pass instead of running
     * the corpus-wide groupBy twice; it stays cached for reuse across
-    * the caller's actions. */
+    * the caller's actions. Repeat calls over the SAME corpus plan
+    * reuse the one cache entry (Spark's CacheManager dedupes by
+    * analyzed plan); a long-lived session processing MANY distinct
+    * corpora should call [[releaseBloomWinners]] after consuming each
+    * result, or the per-corpus winner caches accumulate. */
   def applyExactBloom(docs: DataFrame, idCol: String, textCol: String,
                       expectedWinners: Long = 1000000L,
                       fpp: Double = 0.03): DataFrame = {
-    val winners = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val winners = bloomWinners(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = winners.stat.bloomFilter(idCol, expectedWinners, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightWin = udf((id: Long) => bc.value.mightContain(id))
     docs.filter(mightWin(col(idCol))).join(winners, Seq(idCol), "left_semi")
   }
+
+  /** Release the winner-id cache [[applyExactBloom]] holds for `docs`
+    * (same idCol/textCol), after the returned DataFrame has been fully
+    * consumed. Safe to call whether or not the entry still exists:
+    * uncaching matches by logical plan, so this constructs the same
+    * winners frame and drops its cache entry. */
+  def releaseBloomWinners(docs: DataFrame, idCol: String, textCol: String): Unit =
+    bloomWinners(docs, idCol, textCol).unpersist(blocking = false)
+
+  private def bloomWinners(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
 
   /** Benchmark decontamination: count, per training doc, the distinct
     * word-`w`-grams it shares with an evaluation/benchmark corpus —
@@ -165,15 +180,29 @@ object Dedup {
     * verified with exact Jaccard ≥ threshold (so LSH only affects
     * recall, never precision). Output: (doc_a, doc_b, jaccard).
     *
-    * The distinct-shingle array is materialized ONCE per doc and reused
-    * by both the signature and verification stages; signatures come
-    * from the fused [[graft.functions.MinHashSigs]] codegen expression
-    * (one pass over the shingles for all hashes — the composed
-    * `array_min(transform(...))`-per-hash form walks the array
-    * numHashes× through the interpreter). */
+    * `hash` selects the signature family — [[DetHash]] (default,
+    * SQL-reproducible end to end) or [[XxHash64]] (stronger mixing,
+    * fused [[graft.functions.MinHashSigs]] codegen). Same pipeline
+    * shape either way: shingle → signature → band key → equi-join →
+    * exact-Jaccard verify. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      hash: HashFamily = DetHash): DataFrame = hash match {
+    case DetHash => minhashDet(docs, idCol, textCol, w, numHashes, bands, threshold)
+    case XxHash64 => minhashXx(docs, idCol, textCol, w, numHashes, bands, threshold)
+  }
+
+  /** xxhash64 arm of [[minhashLshPairs]]: the distinct-shingle array is
+    * materialized ONCE per doc and reused by both the signature and
+    * verification stages; signatures come from the fused
+    * [[graft.functions.MinHashSigs]] codegen expression (one pass over
+    * the shingles for all hashes — the composed
+    * `array_min(transform(...))`-per-hash form walks the array
+    * numHashes× through the interpreter). */
+  private def minhashXx(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int, numHashes: Int, bands: Int,
+                        threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shingled = docs.select(
@@ -211,22 +240,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  /** Deterministic-hash MinHash+LSH: the identical
+  /** [[DetHash]] arm of [[minhashLshPairs]]: the identical
     * shingle → signature → band → candidate → exact-Jaccard-verify
-    * pipeline as [[minhashLshPairs]], with the per-shingle hash swapped
-    * from xxhash64 to the transparent [[graft.functions.RollingFp]]
-    * codepoint fold reduced mod 2³¹−1 and the signature family to the
-    * affine (aᵢ·f + bᵢ) mod 2³¹−1 — every step reproducible in ANSI
-    * SQL, so the WHOLE LSH pipeline runs under the full DuckDB oracle.
-    * The xxhash64 variant stays the production default (better mixing);
-    * this is the byte-checkable face of the family, the `byModulo` to
-    * its `byHash`.
+    * pipeline, with the per-shingle hash swapped from xxhash64 to the
+    * transparent [[graft.functions.RollingFp]] codepoint fold reduced
+    * mod 2³¹−1 and the signature family to the affine (aᵢ·f + bᵢ) mod
+    * 2³¹−1 — every step reproducible in ANSI SQL, so the WHOLE LSH
+    * pipeline runs under the full DuckDB oracle.
     *
     * Scale shape: explode → numHashes-way min aggregate — signatures
     * partial-aggregate map-side (shuffle ∝ distinct (doc, shingle)),
     * with no interpreted higher-order pass; banding and candidate
     * generation are string-key equi-joins. */
-  def minhashLshPairsDet(docs: DataFrame, idCol: String, textCol: String,
+  private def minhashDet(docs: DataFrame, idCol: String, textCol: String,
                          w: Int, numHashes: Int, bands: Int,
                          threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -344,8 +370,22 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** SimHash Hamming-band near-dup pairs: docs within `maxHamming`
+    * bits, found via the pigeonhole banding scheme (maxHamming+1
+    * bands — matching pairs must share an exact band). `hash` selects
+    * the per-token fingerprint family, [[DetHash]] (default,
+    * integer-exact in SQL) or [[XxHash64]] (fused
+    * [[graft.functions.SimHash64]] codegen). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int,
+                   hash: HashFamily = DetHash): DataFrame = hash match {
+    case DetHash => simhashDet(docs, idCol, textCol, maxHamming)
+    case XxHash64 => simhashXx(docs, idCol, textCol, maxHamming)
+  }
+
+  /** xxhash64 arm of [[simhashPairs]]. */
+  private def simhashXx(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     val sigs = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
@@ -365,17 +405,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Deterministic-hash SimHash — the oracle-checkable face of
-    * [[simhashPairs]], like [[minhashLshPairsDet]] is for MinHash: per
-    * token, the transparent RollingFp fold mod 2³¹−1 rehashed through
-    * 64 affine families decides the ±1 contribution per bit
-    * (top-half-of-range rule); the per-bit sums, sign bits, packed
-    * 32-bit halves, band keys, and Hamming verification are ALL integer
-    * arithmetic — bit-exactly reproducible in ANSI SQL with no float
-    * anywhere. Explode → 64-way sum aggregate (map-side combined);
-    * banding and verify mirror [[simhashPairs]]' pigeonhole scheme. */
-  def simhashPairsDet(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int): DataFrame = {
+  /** [[DetHash]] arm of [[simhashPairs]]: per token, the transparent
+    * RollingFp fold mod 2³¹−1 rehashed through 64 affine families
+    * decides the ±1 contribution per bit (top-half-of-range rule); the
+    * per-bit sums, sign bits, packed 32-bit halves, band keys, and
+    * Hamming verification are ALL integer arithmetic — bit-exactly
+    * reproducible in ANSI SQL with no float anywhere. Explode → 64-way
+    * sum aggregate (map-side combined); banding and verify mirror the
+    * xxhash64 arm's pigeonhole scheme. */
+  private def simhashDet(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(64 % nBands == 0, s"maxHamming+1 must divide 64, got $nBands")
     val bandBits = 64 / nBands
@@ -416,10 +455,24 @@ object Dedup {
 
   /** Embedding cosine near-dup inside hyperplane-LSH buckets: only
     * vectors whose sign-signatures collide are compared. Exact cosine
-    * verification keeps precision at 1. */
+    * verification keeps precision at 1. `hash` selects the hyperplane
+    * family, [[DetHash]] (default, bit-identical doubles in SQL via
+    * strict left-to-right folds) or [[XxHash64]] (codegen
+    * [[graft.functions.HyperplaneBuckets]] — the throughput option
+    * when the interpreted fold cost of the det arm matters more than
+    * oracle verifiability). */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double,
-                       bits: Int = 8, tables: Int = 4): DataFrame = {
+                       bits: Int = 4, tables: Int = 8,
+                       hash: HashFamily = DetHash): DataFrame = hash match {
+    case DetHash => embeddingNearDupDet(embs, idCol, vecCol, dim, threshold, bits, tables)
+    case XxHash64 => embeddingNearDupXx(embs, idCol, vecCol, dim, threshold, bits, tables)
+  }
+
+  /** xxhash64 arm of [[embeddingNearDup]]. */
+  private def embeddingNearDupXx(embs: DataFrame, idCol: String, vecCol: String,
+                                 dim: Int, threshold: Double,
+                                 bits: Int, tables: Int): DataFrame = {
     val bucketed = embs.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
@@ -433,21 +486,17 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic-hyperplane embedding near-dup — the oracle-checkable
-    * face of [[embeddingNearDup]], completing the det-hash trio with
-    * [[minhashLshPairsDet]] and [[simhashPairsDet]]. Hyperplane
-    * components are rationals from a multiplicative hash of
-    * (table, bit, dim) — computable identically in SQL — and every
-    * float reduction (the sign dots and the verify cosine) is a STRICT
-    * LEFT-TO-RIGHT fold (`aggregate` here ≡ `list_reduce` in DuckDB),
-    * so the accumulated doubles are bit-identical across engines and
-    * the full oracle hash-matches. Interpreted higher-order folds are
-    * the point, not a compromise: fixed order is what buys parity; the
-    * codegen [[graft.functions.HyperplaneBuckets]] variant remains the
-    * production default. */
-  def embeddingNearDupDet(embs: DataFrame, idCol: String, vecCol: String,
-                          dim: Int, threshold: Double,
-                          bits: Int = 4, tables: Int = 8): DataFrame = {
+  /** [[DetHash]] arm of [[embeddingNearDup]]: hyperplane components
+    * are rationals from a multiplicative hash of (table, bit, dim) —
+    * computable identically in SQL — and every float reduction (the
+    * sign dots and the verify cosine) is a STRICT LEFT-TO-RIGHT fold
+    * (`aggregate` here ≡ `list_reduce` in DuckDB), so the accumulated
+    * doubles are bit-identical across engines and the full oracle
+    * hash-matches. Interpreted higher-order folds are the point, not a
+    * compromise: fixed order is what buys parity. */
+  private def embeddingNearDupDet(embs: DataFrame, idCol: String, vecCol: String,
+                                  dim: Int, threshold: Double,
+                                  bits: Int, tables: Int): DataFrame = {
     val banded = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(Vectors.detHyperplaneKeys(col(vecCol), dim, bits, tables))
         .as(Seq("t", "key")))

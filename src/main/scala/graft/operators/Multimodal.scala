@@ -90,9 +90,17 @@ object Multimodal {
     * Graphics2D transform, re-encode as PNG. Non-image payloads keep
     * the deterministic stub (proportional byte slice). */
   def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    resizeTagged(payload, targetW, targetH)._1
+
+  /** [[resize]] plus whether the real re-encode path ran — the output
+    * of that path is ALWAYS PNG bytes regardless of the input format,
+    * so callers carrying a mime column must relabel (a JPEG input
+    * would otherwise come back as PNG bytes labeled image/jpeg). */
+  private def resizeTagged(payload: Array[Byte], targetW: Int,
+                           targetH: Int): (Array[Byte], Boolean) =
     if (isPng(payload) || isJpeg(payload)) {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) resizeStub(payload, targetW, targetH)
+      if (img == null) (resizeStub(payload, targetW, targetH), false)
       else {
         val out = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -103,9 +111,9 @@ object Multimodal {
         g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        (bos.toByteArray, true)
       }
-    } else resizeStub(payload, targetW, targetH)
+    } else (resizeStub(payload, targetW, targetH), false)
 
   /** STUB resize for non-image payloads: slices the payload
     * proportionally so output size tracks the requested scale
@@ -157,8 +165,10 @@ object Multimodal {
   /** Partition-batched resize of a media table: each payload is resized
     * to (widthOf(id), heightOf(id)) — real re-encode for images, stub
     * slice otherwise — with `meta.byte_len` updated to the new payload
-    * size. No shuffle: the transform is embarrassingly parallel and
-    * runs where the payload already lives. */
+    * size and `mime` set to image/png when the real path re-encoded
+    * (the stub slice keeps its original label). No shuffle: the
+    * transform is embarrassingly parallel and runs where the payload
+    * already lives. */
   def resizeMedia(media: DataFrame,
                   widthOf: Long => Int, heightOf: Long => Int): DataFrame = {
     implicit val enc = Encoders.row(mediaSchema)
@@ -166,8 +176,10 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val out = resize(r.getAs[Array[Byte]](1), widthOf(id), heightOf(id))
-          Row(id, out, r.getString(2), Row(r.getStruct(3).getString(0), out.length.toLong))
+          val (out, reEncoded) =
+            resizeTagged(r.getAs[Array[Byte]](1), widthOf(id), heightOf(id))
+          val mime = if (reEncoded) "image/png" else r.getString(2)
+          Row(id, out, mime, Row(r.getStruct(3).getString(0), out.length.toLong))
         }
       }
   }

@@ -67,16 +67,31 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic-hyperplane ANN top-k — the oracle-checkable face of
-    * [[bucketedTopK]] (see [[graft.operators.Dedup.embeddingNearDupDet]]
-    * for the parity recipe): hash-free rational hyperplanes
+  /** Bucketed (LSH) ANN top-k: candidates = corpus vectors sharing any
+    * of `tables` hyperplane buckets with the query; exact cosine +
+    * top-k within candidates. Recall grows with `tables`, cost with
+    * bucket occupancy (≈ N / 2^bits per table). `hash` selects the
+    * hyperplane family — [[DetHash]] (default, oracle-checkable) or
+    * [[XxHash64]] (codegen hyperplanes + fused cosine, the throughput
+    * option). */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, dim: Int, k: Int,
+                   bits: Int = 4, tables: Int = 8,
+                   hash: HashFamily = DetHash): DataFrame = hash match {
+    case DetHash => bucketedTopKDet(queries, corpus, idCol, vecCol, dim, k, bits, tables)
+    case XxHash64 => bucketedTopKXx(queries, corpus, idCol, vecCol, dim, k, bits, tables)
+  }
+
+  /** [[DetHash]] arm of [[bucketedTopK]] (see
+    * [[graft.operators.Dedup.embeddingNearDup]]'s det arm for the
+    * parity recipe): hash-free rational hyperplanes
     * ([[Vectors.detHyperplaneKeys]]) and strict left-to-right fold
     * cosine ([[Vectors.cosineFold]]) make every double bit-identical in
     * ANSI SQL, so candidate generation, scoring, and ranking all
     * hash-match the DuckDB oracle with no rounding. */
-  def bucketedTopKDet(queries: DataFrame, corpus: DataFrame,
-                      idCol: String, vecCol: String, dim: Int, k: Int,
-                      bits: Int = 4, tables: Int = 8): DataFrame = {
+  private def bucketedTopKDet(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String, dim: Int, k: Int,
+                              bits: Int, tables: Int): DataFrame = {
     def bucketize(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(id), col(v),
         posexplode(Vectors.detHyperplaneKeys(col(v), dim, bits, tables))
@@ -93,13 +108,10 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Bucketed (IVF/LSH) ANN top-k: candidates = corpus vectors sharing
-    * any of `tables` hyperplane buckets with the query; exact cosine +
-    * top-k within candidates. Recall grows with `tables`, cost with
-    * bucket occupancy (≈ N / 2^bits per table). */
-  def bucketedTopK(queries: DataFrame, corpus: DataFrame,
-                   idCol: String, vecCol: String, dim: Int, k: Int,
-                   bits: Int = 6, tables: Int = 4): DataFrame = {
+  /** xxhash64 arm of [[bucketedTopK]]. */
+  private def bucketedTopKXx(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String, dim: Int, k: Int,
+                             bits: Int, tables: Int): DataFrame = {
     def bucketize(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(id), col(v),
         posexplode(Vectors.hyperplaneBuckets(col(v), dim, bits, tables, seed = 2000))

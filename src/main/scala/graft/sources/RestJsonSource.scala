@@ -67,9 +67,25 @@ object RestJsonSource {
           if (code >= 200 && code < 300) return Some(resp.body())
           if (code < 500) return None  // 4xx is not retryable
           // 5xx falls through to the retry loop
-        } catch { case _: java.io.IOException => () } // transport error: retry
+        } catch {
+          case _: java.io.IOException => () // transport error: retry
+          case _: InterruptedException =>
+            // task kill / speculative-execution cancel: restore the
+            // flag so Spark's task machinery sees it, and bail out as
+            // a per-request miss rather than an escaped exception —
+            // the error-isolation contract holds under cancellation
+            Thread.currentThread().interrupt()
+            return None
+        }
         attempt += 1
-        if (attempt <= retries) Thread.sleep(backoffMs << (attempt - 1))
+        if (attempt <= retries) {
+          try Thread.sleep(backoffMs << (attempt - 1))
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              return None
+          }
+        }
       }
       None
     }

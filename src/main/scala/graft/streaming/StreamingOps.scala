@@ -142,6 +142,38 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Continuous DB load: drive a streaming aggregate into a database
+    * table through `foreachBatch` → [[graft.pipelines.IngestionJob
+    * .saveTables]] — the production composition of the reference's
+    * `ingestion.py` orchestrator (ref `ingestion.py:29-38`) over a
+    * live stream instead of batch extracts.
+    *
+    * Contract: `agg` runs in COMPLETE output mode (each micro-batch
+    * carries the full aggregate state) and the writer is replace-mode
+    * ([[graft.pipelines.IngestionJob.jdbcWriter]]), so every batch
+    * REPLACES the table with the current snapshot — exactly
+    * `to_sql(if_exists='replace')` semantics. Batch-id idempotence
+    * falls out of that pairing: `foreachBatch` delivers at-least-once
+    * (a batch can re-run after failure, same batchId), and a re-run
+    * replace writes the identical snapshot instead of appending
+    * duplicates. An append-mode writer would need the batchId ledger
+    * instead — record it and skip batches already committed. */
+  def streamToTable(agg: DataFrame, table: String,
+                    writer: (DataFrame, String) => Unit,
+                    checkpointDir: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipelines.IngestionJob.saveTables(Seq(table -> batch), writer)
+        ()
+      }
+      .start()
+
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

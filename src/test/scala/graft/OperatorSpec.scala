@@ -406,21 +406,21 @@ class OperatorSpec extends SparkSpec {
     assert(got === Seq(("b", 3L, 1L), ("a", 2L, 2L), ("c", 1L, 3L)))
   }
 
-  test("Dedup.minhashLshPairs recalls an exact duplicate and verifies jaccard") {
+  test("Dedup.minhashLshPairs (XxHash64 arm) recalls an exact duplicate and verifies jaccard") {
     val base = "a b c d e f g h i j k l m n o p"
     val docs = Seq((1L, base), (2L, base), (3L, "z y x w v u t s r q p2 o2 n2 m2"))
       .toDF("doc_id", "text")
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      w = 3, numHashes = 16, bands = 8, threshold = 0.9)
+      w = 3, numHashes = 16, bands = 8, threshold = 0.9, hash = XxHash64)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
-  test("Dedup.minhashLshPairsDet recalls a near-dup with the exact verified jaccard") {
+  test("Dedup.minhashLshPairs (DetHash default) recalls a near-dup with the exact verified jaccard") {
     val base = "a b c d e f g h i j"
     val docs = Seq((1L, base), (2L, base + " k"), (3L, "z y x w v u t s r q"))
       .toDF("doc_id", "text")
-    val got = Dedup.minhashLshPairsDet(docs, "doc_id", "text",
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
       w = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
     // docs 1/2 share 8 of 9 distinct shingles → J = 8/9; identical sigs
@@ -429,17 +429,17 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 8.0 / 9.0) < 1e-12)
   }
 
-  test("Dedup.simhashPairsDet: identical docs at hamming 0, disjoint docs unpaired") {
+  test("Dedup.simhashPairs (DetHash default): identical docs at hamming 0, disjoint docs unpaired") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "zq wx ee rr tt yy uu ii oo pp")).toDF("doc_id", "text")
-    val got = Dedup.simhashPairsDet(docs, "doc_id", "text", maxHamming = 7)
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(got === Set((1L, 2L, 0)))
   }
 
-  test("Dedup.embeddingNearDupDet pairs near-parallel vectors, not orthogonal ones") {
+  test("Dedup.embeddingNearDup (DetHash default) pairs near-parallel vectors, not orthogonal ones") {
     val dim = 64
     def vec(f: Int => Float) = (0 until dim).map(f).toArray
     val embs = Seq(
@@ -447,7 +447,7 @@ class OperatorSpec extends SparkSpec {
       (2L, vec(d => if (d == 0) 0.9f else if (d == 1) 0.1f else 0f)),
       (3L, vec(d => if (d == 63) 1f else 0f))
     ).toDF("vec_id", "embedding")
-    val got = Dedup.embeddingNearDupDet(embs, "vec_id", "embedding",
+    val got = Dedup.embeddingNearDup(embs, "vec_id", "embedding",
       dim = dim, threshold = 0.35, bits = 4, tables = 8)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
@@ -456,7 +456,7 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(got.head._3 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
   }
 
-  test("Similarity.bucketedTopKDet ranks the true nearest neighbor first") {
+  test("Similarity.bucketedTopK (DetHash default) ranks the true nearest neighbor first") {
     import graft.operators.Similarity
     val dim = 64
     def vec(f: Int => Float) = (0 until dim).map(f).toArray
@@ -466,7 +466,7 @@ class OperatorSpec extends SparkSpec {
       (2L, vec(d => if (d < 4) 1f else if (d == 5) 0.1f else 0f)),  // near 1
       (3L, vec(d => if (d >= 60) 1f else 0f))                        // far
     ).toDF("vec_id", "embedding")
-    val got = Similarity.bucketedTopKDet(
+    val got = Similarity.bucketedTopK(
       embs.filter(col("vec_id") === 1L), embs, "vec_id", "embedding",
       dim = dim, k = 2, bits = 4, tables = 8)
       .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
@@ -474,10 +474,10 @@ class OperatorSpec extends SparkSpec {
     assert(got.head === ((1L, 2L, 1)))   // near-parallel vector ranks first
   }
 
-  test("Dedup.simhashPairs: identical docs at hamming 0, disjoint docs far") {
+  test("Dedup.simhashPairs (XxHash64 arm): identical docs at hamming 0, disjoint docs far") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
-    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, hash = XxHash64)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
     assert(got.toSeq === Seq((1L, 2L, 0)))
   }
@@ -498,6 +498,20 @@ class OperatorSpec extends SparkSpec {
     assert(got === Set(
       ("a", 3L, 0L, 2L, 1.0, 3.0),
       ("b", 3L, 1L, 2L, 2.0, 6.0)))
+  }
+
+  test("Profile.profile approxDistinct: same schema, HLL estimate within ±15% of exact") {
+    val li = Tables(spark, sf, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val ap = Profile.profile(li, cols, approxDistinct = true)
+    val ex = Profile.profile(li, cols)
+    assert(ap.schema === ex.schema)   // drop-in 100 TB mode: identical shape
+    val apD = ap.select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    val exD = ex.select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    for ((c, exact) <- exD) {
+      val rel = math.abs(apD(c).toDouble / exact - 1.0)
+      assert(rel <= 0.15, s"$c: approx ${apD(c)} vs exact $exact (rel err $rel > 0.15)")
+    }
   }
 
   test("Text.tokenIds maps tokens in order with OOV → -1") {

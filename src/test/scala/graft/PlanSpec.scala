@@ -151,6 +151,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("profile approxDistinct shuffles no distinct values (HLL sketch merge only)") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables(spark, sf, "lineitem")
+    // exact countDistinct: the optimizer prunes the wide agg through
+    // the union into per-column single-distinct aggregates, each
+    // REGROUPING the column's values on a hash exchange — the cost
+    // that scales with per-column cardinality at 100 TB…
+    val exact = graft.operators.Profile.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Exchange hashpartitioning"), exact.take(1200))
+    // …which the HLL path must NOT pay: partial sketches merge through
+    // the single-partition exchange only, no value-keyed shuffle and
+    // no multi-distinct Expand anywhere
+    val approx = graft.operators.Profile.profile(li, cols, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Exchange hashpartitioning"), approx.take(1200))
+    assert(!approx.contains("Expand"), approx.take(1200))
+  }
+
   test("fused SimHash64 equals the composed 64-fold form bit-for-bit") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").limit(300)
@@ -186,18 +205,22 @@ class PlanSpec extends SparkSpec {
 
   test("MinHash-LSH and embedding-LSH dedup recall vs their exact pair sets") {
     import spark.implicits._
-    // MinHash candidates vs the full inverted-index Jaccard pair set
+    // the DetHash default is hash-verified by the DuckDB oracle; these
+    // recall gates cover the XxHash64 arm, whose hashes the oracle
+    // can't reproduce — both arms, both operators, vs exact truth
     val docs = Tables(spark, sf, "documents")
     val exactPairs = graft.operators.Dedup
       .ngramJaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.05)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val lshPairs = graft.operators.Dedup
-      .minhashLshPairs(docs, "doc_id", "text", w = 3,
-        numHashes = 16, bands = 8, threshold = 0.05)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(lshPairs.subsetOf(exactPairs))   // exact-verify ⇒ precision 1
-    val mhRecall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
-    assert(mhRecall >= 0.7, s"minhash recall = $mhRecall < 0.7")
+    for (h <- Seq(graft.operators.DetHash, graft.operators.XxHash64)) {
+      val lshPairs = graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", w = 3,
+          numHashes = 16, bands = 8, threshold = 0.05, hash = h)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(lshPairs.subsetOf(exactPairs))   // exact-verify ⇒ precision 1
+      val mhRecall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+      assert(mhRecall >= 0.7, s"minhash($h) recall = $mhRecall < 0.7")
+    }
 
     // embedding-LSH near-dup vs brute-force cosine pairs ≥ threshold
     val e = Tables(spark, sf, "embeddings").filter(col("vec_id") < 500)
@@ -206,14 +229,16 @@ class PlanSpec extends SparkSpec {
       .filter(col("id_a") < col("id_b"))
       .filter(graft.functions.Vectors.cosine(col("va"), col("vb")) >= 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val near = graft.operators.Dedup
-      .embeddingNearDup(e, "vec_id", "embedding", dim = 64, threshold = 0.35,
-        bits = 4, tables = 8)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(near.subsetOf(truth))
-    val emRecall = if (truth.isEmpty) 1.0
-      else near.intersect(truth).size.toDouble / truth.size
-    assert(emRecall >= 0.6, s"embedding near-dup recall = $emRecall < 0.6")
+    for (h <- Seq(graft.operators.DetHash, graft.operators.XxHash64)) {
+      val near = graft.operators.Dedup
+        .embeddingNearDup(e, "vec_id", "embedding", dim = 64, threshold = 0.35,
+          bits = 4, tables = 8, hash = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(near.subsetOf(truth))
+      val emRecall = if (truth.isEmpty) 1.0
+        else near.intersect(truth).size.toDouble / truth.size
+      assert(emRecall >= 0.6, s"embedding($h) near-dup recall = $emRecall < 0.6")
+    }
   }
 
   test("fused MinHashSigs equals the composed array_min/transform form bit-for-bit") {

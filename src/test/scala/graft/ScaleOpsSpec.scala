@@ -101,7 +101,51 @@ class ScaleOpsSpec extends SparkSpec {
       .write.parquet(s"$src/documents.parquet")
     Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(-0.5f, 0.5f)))
       .toDF("vec_id", "embedding").write.parquet(s"$src/embeddings.parquet")
+    // minimal star schema + events (the generator replicates facts and
+    // copies dims through)
+    Seq((1L, "c1", 1, 10.0, "BUILDING")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$src/customer.parquet")
+    Seq((1L, 1L, "O", 100.0, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$src/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 5.0, 50.0, 0.1, 0.02, "N", "O",
+      java.sql.Timestamp.valueOf("1996-02-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$src/lineitem.parquet")
+    // ts mirrors the testdata's long-of-nanos shape (TIMESTAMP(NANOS)
+    // under nanosAsLong)
+    Seq((1L, 1704067200L * 1000000000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$src/events.parquet")
+    Seq((1, "r1")).toDF("r_regionkey", "r_name").write.parquet(s"$src/region.parquet")
+    Seq((1, "n1", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$src/nation.parquet")
+    Seq((1L, "s1", 1, 5.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$src/supplier.parquet")
+    Seq((1L, "p1", "Brand#1", "t", 10, 9.99))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$src/part.parquet")
     StressSmoke.generate(spark, src, work, reps = 3)
+    // star schema: the replicated join graph stays closed — every
+    // replica's orders join its replica's customer and lineitem
+    val ordersW = spark.read.parquet(s"$work/orders.parquet")
+    val custW = spark.read.parquet(s"$work/customer.parquet")
+    val liW = spark.read.parquet(s"$work/lineitem.parquet")
+    assert(ordersW.count() === 3 && custW.count() === 3 && liW.count() === 3)
+    assert(ordersW.join(custW, col("o_custkey") === col("c_custkey")).count() === 3)
+    assert(ordersW.join(liW, col("o_orderkey") === col("l_orderkey")).count() === 3)
+    // dims copy through unscaled
+    assert(spark.read.parquet(s"$work/supplier.parquet").count() === 1)
+    // events: replicas land on disjoint days (KNN-impute groups
+    // replicate instead of densifying)
+    val evW = spark.read.parquet(s"$work/events.parquet")
+      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    assert(evW.count() === 3)
+    assert(evW.select("day").distinct().count() === 3)
     val docs = spark.read.parquet(s"$work/documents.parquet")
     assert(docs.count() === 9)
     // replica 0 is byte-identical to the source corpus
@@ -191,6 +235,33 @@ class ScaleOpsSpec extends SparkSpec {
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(ship_year"), plan.take(1500))
     assert(read.count() > 0)
+  }
+
+  test("dynamic partition pruning: a filtered dim prunes event-day partitions at runtime") {
+    // SURVEY §4 leans on DPP once facts are date-partitioned; this
+    // proves the engine's session config actually triggers it: events
+    // written partitioned by day, joined to a filtered dim on the
+    // partition column → the scan's PartitionFilters must carry a
+    // runtime dynamicpruning subquery, not read all days.
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp_").toFile
+    base.deleteOnExit()
+    val ev = Tables(spark, sf, "events")
+      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(s"$base/events_by_day")
+    val facts = spark.read.parquet(s"$base/events_by_day")
+    // dim table on disk (a filter on a literal one-day dim): stats make
+    // it broadcastable, the precondition for DPP's reuse-broadcast path
+    ev.select("day").distinct().write.mode("overwrite").parquet(s"$base/days")
+    val oneDay = ev.select(min(col("day"))).head().getLong(0)
+    val dim = spark.read.parquet(s"$base/days").filter(col("day") === oneDay)
+    val q = facts.join(dim, "day").groupBy("event_type").count()
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+    // static single-day query prunes too (PartitionFilters on the scan)
+    val statics = facts.filter(col("day") === oneDay)
+    val sPlan = statics.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PartitionFilters: [isnotnull(day"), sPlan.take(1500))
   }
 
   test("bucketed tables join without a shuffle exchange") {
