@@ -64,8 +64,16 @@ object Text {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks).cast("double")
-    val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(toks, w => array_contains(stopArr, w))).cast("double")
+    // stopword count as a codegen regex over the space-padded text:
+    // zero-width lookarounds keep boundary spaces unconsumed, so
+    // consecutive stopwords ("the a") each match — exactly the tokens
+    // equal to a stopword. The composed form, size(filter(toks,
+    // array_contains(...))), is an interpreted higher-order expression
+    // (CodegenFallback) that dominated this operator's per-row cost at
+    // the 10x stress scale.
+    val stopAlt = stopwords.map(java.util.regex.Pattern.quote).mkString("|")
+    val nStop = size(regexp_extract_all(concat(lit(" "), t, lit(" ")),
+      lit(s"(?<= )(?:$stopAlt)(?= )"), lit(0))).cast("double")
     val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
     df.withColumn("n_tokens", size(toks))
       // Σ token length ≡ length − (nTok−1): split-on-' ' partitions the

@@ -398,6 +398,26 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === ref("the quick brown fox"))
   }
 
+  test("Text.qualityFeatures: regex stopword count ≡ token-filter form on edge cases") {
+    import graft.functions.Text
+    val docs = Seq(
+      (1L, "the a the"),        // consecutive stopwords + both ends
+      (2L, "a  the"),           // empty token from a double space
+      (3L, "theater a.b the"),  // substrings and near-misses must not match
+      (4L, "x y z")             // none
+    ).toDF("doc_id", "text")
+    val got = Text.qualityFeatures(docs, "text", Seq("the", "a"))
+      .select("doc_id", "stopword_ratio").as[(Long, Double)].collect().toMap
+    val stopArr = array(lit("the"), lit("a"))
+    val toks = split(col("text"), " ")
+    val ref = docs.select(col("doc_id"),
+      (size(filter(toks, w => array_contains(stopArr, w))).cast("double") /
+        size(toks).cast("double")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === ref)
+    assert(got(1L) === 1.0 && got(3L) === 1.0 / 3.0 && got(4L) === 0.0)
+  }
+
   test("Text.buildVocabByFreq: most-frequent-first ids with token tie-break") {
     import graft.functions.Text
     val toks = Seq("b", "a", "b", "c", "a", "b").toDF("token")
