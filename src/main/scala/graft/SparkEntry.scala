@@ -940,6 +940,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mixture sampling: rebalance the corpus to a target lang mix
+    // (en 40% / zh 20% / es 20% / fr 20%; de dropped) — fr is the
+    // binding group at this SF (smallest n/target) and keeps all rows,
+    // every other group downsamples by the transparent hash rule
+    "q_sample_mixture" -> ((s, dir) => {
+      Sampling.mixture(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "fr" -> 0.2))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Budget-capped selection: per source, longest-first docs until a
+    // 3000-char budget — the take-the-best-until-budget data-selection
+    // pass (quality order stands in as length here)
+    "q_select_budget" -> ((s, dir) => {
+      Sampling.selectUntilBudget(t(s, dir, "documents"), "source",
+        Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 3000L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Streaming shape: event-time tumbling-window aggregate (batch-equiv)
     "q_stream_window" -> ((s, dir) => {
       StreamingOps.windowedAgg(t(s, dir, "events"))
@@ -2128,6 +2149,33 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000000 <
         |  least(1.0, CAST(n_chars AS DOUBLE) / 400) * 1000000
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.mixture step-for-step: per-group counts, the
+    // binding scale T = min(n/target), per-group rate T·target/n, and
+    // the same multiplicative-hash membership — every double computed
+    // by the identical expression, so no rounding is needed
+    "q_sample_mixture" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+        |              WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END AS target
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT MIN(n / target) AS T FROM c WHERE target IS NOT NULL),
+        |r AS (SELECT lang, T * target / n AS rate
+        |      FROM c CROSS JOIN t WHERE target IS NOT NULL)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < rate * 1000000
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_select_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM c
+        |WHERE cum <= 3000 ORDER BY doc_id""".stripMargin,
 
     "q_stream_window" ->
       """WITH e AS (

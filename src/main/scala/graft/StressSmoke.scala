@@ -60,7 +60,8 @@ object StressSmoke {
     "q_mm_resize", "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf",
     "q_dedup_bloom", "q_dedup_incremental", "q_decontaminate", "q_text_chunk",
     "q_text_repetition", "q_text_redact", "q_text_entropy", "q_text_tfidf",
-    "q_pipeline_pretrain", "q_sample_byrate",
+    "q_pipeline_pretrain", "q_sample_byrate", "q_sample_mixture",
+    "q_select_budget",
     // relational / window / TPC-H families (replicated star schema)
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q17", "q_tpch_q18",
     "q_j2_nearest", "q_o1_topk", "q_profile",

@@ -76,4 +76,66 @@ object Sampling {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Mixture sampling: downsample each group so the OUTPUT's group
+    * shares match `targets` (the data-mixing pass of a pretraining
+    * corpus — e.g. 60% web / 30% code / 10% books), maximal under
+    * no-upsampling: the binding group (smallest nᵍ/targetᵍ) keeps
+    * every row, every other group keeps rate
+    * rᵍ = T·targetᵍ/nᵍ with T = min over groups of nᵍ/targetᵍ.
+    * Groups absent from `targets` are dropped. Membership is the same
+    * transparent multiplicative-hash bucket as [[stratifiedByModulo]]
+    * (nested, engine/partitioning-stable, SQL-reproducible); realized
+    * shares match targets to hash-bucket granularity (±1e-6·n), not
+    * exactly.
+    *
+    * Scale shape: one tiny groupBy for counts, a 1-row global min for
+    * the binding scale, and a per-group rate dim broadcast onto the
+    * corpus — the corpus itself streams through one filter, no
+    * shuffle. */
+  def mixture(df: DataFrame, groupCol: String, idCol: String,
+              targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive shares")
+    val targetExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (rest, (g, share)) =>
+        when(col(groupCol) === g, lit(share)).otherwise(rest)
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_target", targetExpr)
+      .filter(col("_target").isNotNull)
+    // binding scale via an un-partitioned window over the COUNTS dim —
+    // one row per targeted group, bounded by |targets|, so the single
+    // task is trivially safe (and the plan stays free of the cartesian
+    // join a 1-row scale table would need; the plan-wide scale guard
+    // keeps its empty whitelist)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("_T", min(col("_n").cast("double") / col("_target")).over(wAll))
+      .select(col(groupCol),
+        (col("_T") * col("_target") / col("_n").cast("double")).as("_rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
+        col("_rate") * lit(1000000L))
+      .drop("_rate")
+  }
+
+  /** Budget-capped selection: per group, keep rows in `order` until
+    * the running sum of `costCol` exceeds `budget` — the
+    * data-selection pass that takes the best documents (quality-first
+    * order) up to a token/char budget per source. A row is kept iff
+    * its inclusive running cost is ≤ budget, so the output never
+    * exceeds the budget. `order` must be total (tie-break on the id)
+    * for deterministic membership. One shuffle on the group key; the
+    * running sum is a single window pass. */
+  def selectUntilBudget(df: DataFrame, groupCol: String, order: Seq[Column],
+                        costCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("_cum", sum(col(costCol)).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
 }

@@ -551,6 +551,30 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("Sampling.mixture: binding group kept whole, hash-rule membership, untargeted dropped") {
+    val rows = (1L to 40L).map(i => (i, if (i <= 20) "a" else if (i <= 30) "b" else "x"))
+    val df = rows.toDF("id", "g")
+    // targets a 0.5 / b 0.5 → T = min(20/0.5, 10/0.5) = 20 → rate_a = 0.5, rate_b = 1.0
+    val got = Sampling.mixture(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id", "g").as[(Long, String)].collect()
+    val byG = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(!byG.contains("x"))                  // untargeted group dropped
+    assert(byG("b") === (21L to 30L).toSet)     // binding group keeps every row
+    val expA = (1L to 20L)
+      .filter(i => Math.floorMod(i * 2654435761L, 1000000L) < 500000L).toSet
+    assert(byG("a") === expA)                   // exactly the hash rule at rate 0.5
+  }
+
+  test("Sampling.selectUntilBudget keeps the order-prefix within budget per group") {
+    val df = Seq((1L, "s", 100L), (2L, "s", 300L), (3L, "s", 200L),
+      (4L, "t", 500L), (5L, "t", 100L)).toDF("id", "g", "cost")
+    // cost desc, id: s → 2 (cum 300), 3 (500), 1 (600); t → 4 (500), 5 (600)
+    val got = Sampling.selectUntilBudget(df, "g",
+      Seq(col("cost").desc, col("id")), "cost", budget = 500L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(2L, 3L, 4L))             // the crossing rows (1, 5) are out
+  }
+
   test("Sampling splits are deterministic, exhaustive, and disjoint") {
     val df = (0L until 1000L).toDF("id")
     val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)

@@ -24,6 +24,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("headline results are bit-identical across shuffle-partition layouts") {
+    // the engine's auditability claim: re-partitioning (a 4-core dev
+    // box vs a 1000-executor cluster) must not change a single bit of
+    // output — decimal-exact sums, centered closed forms, and fixed
+    // fold orders are what buy this. Exercise the order-sensitive
+    // queries under two very different initial shuffle widths.
+    val names = Seq("q_a9_stats", "q_a7_ols", "q_j3_gravity",
+      "q_winsorize", "q_text_entropy", "q_profile")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(name: String, parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries(name)(spark, sf).collect().toSeq
+    }
+    try names.foreach { n =>
+      assert(run(n, "3") === run(n, "17"), s"$n differs across partitionings")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("A6 gravity row-normalization rows sum to 1 for any positive masses") {
     cases(3)(List.fill(6)(1L + rnd.nextInt(1000).toLong)) { masses =>
       val zones = masses.zipWithIndex.map { case (m, i) => (i, m) }.toDF("z", "m")
