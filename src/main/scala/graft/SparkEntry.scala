@@ -112,6 +112,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A12: per-group robust (median/MAD) outlier fences on the
+    // integer-valued quantity column — interpolated medians land on
+    // exactly-representable halves, so every fence decision is
+    // engine-exact and the outlier counts are pure integers
+    "q_mad_outliers" -> ((s, dir) => {
+      Profile.madOutliers(t(s, dir, "lineitem"), "l_quantity",
+        Seq("l_returnflag"), k = 1.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(min("_med"), 6).as("med"),
+          round(min("_mad"), 6).as("mad_val"))
+        .orderBy("l_returnflag")
+    }),
+
     // A11: per-group feature scaling (z-score + min-max). The raw
     // scores are bit-identical cross-engine (decimal-exact sums →
     // IEEE-determined doubles), quantized with floor(x·1e6) — integer
@@ -471,6 +486,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q1 proper: the canonical pricing-summary report — one
+    // date-filtered full-table scan feeding 8 aggregates in a single
+    // map-side-combined hash agg (the shape every columnar engine is
+    // benchmarked on; scan-bound at 100 TB, shuffle carries 4 rows)
+    "q_tpch_q1" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Exact.dsum(disc).as("sum_disc_price"),
+          Exact.dsum(disc * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_extendedprice")).as("avg_price"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 shape: the pure scan-pushdown query — every predicate
+    // (date range, discount band, quantity cap) reaches the parquet
+    // reader (PlanSpec asserts PushedFilters), no join, no shuffle
+    // beyond the single-row final agg
+    "q_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(Exact.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Ranking-function pack: dense_rank / percent_rank / cume_dist / ntile
     "q_w_ranks" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -573,6 +622,20 @@ object SparkEntry {
       Dedup.applyExactIncremental(
         docs.filter(col("doc_id") >= 250), "doc_id", "text", ledger)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Dedup 1f: line-level exact dedup (C4-style) — synthetic two-line
+    // docs built by pairing each doc with its successor, so every
+    // original text occurs as a line in exactly two docs and the
+    // smaller doc id keeps it; docs are rebuilt from surviving lines
+    "q_dedup_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text2"))
+      val paired = d.join(nxt, Seq("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit("\n"), col("text2")).as("text"))
+      Dedup.dedupLines(paired, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("n_lines_kept"))
+        .orderBy("doc_id")
     }),
 
     // Dedup 1d: bloom-prefiltered apply — byte-identical to
@@ -704,6 +767,19 @@ object SparkEntry {
         .withColumn("n_regex_tokens", Text.regexTokenCount(col("text")))
         .select(col("doc_id"), col("n_tokens"), col("n_regex_tokens"),
           col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Text 1a: linear quality-classifier gate — a fastText-style
+    // filter's inference pass as pure expressions: logit over the
+    // feature pack (√-length feature keeps every op correctly rounded —
+    // no libm sigmoid), thresholded at logit(0.5) = 0
+    "q_quality_gate" -> ((s, dir) => {
+      Text.qualityLogit(t(s, dir, "documents"), "text", stopwords = Seq("the", "a"),
+        bias = -2.0, wLen = 0.25, wTokLen = 0.1, wStop = 2.0, wPunct = -4.0)
+        .select(col("doc_id"),
+          floor(col("logit") * 1000000).cast("long").as("logit_q"),
+          when(col("logit") >= 0, 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -1163,6 +1239,20 @@ object SparkEntry {
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS m
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l.l_returnflag, m.m, abs(l.l_quantity - m.m) AS dev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag, median(dev) AS mv FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > 1.5 * md.mv THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(MIN(d.m), 6) AS med, ROUND(MIN(md.mv), 6) AS mad_val
+        |FROM d JOIN md USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
     "q_a8_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
@@ -1485,6 +1575,30 @@ object SparkEntry {
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 20""".stripMargin,
 
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
     "q_w_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(dense_rank() OVER w AS INT) AS drank,
@@ -1562,6 +1676,25 @@ object SparkEntry {
     "q_dedup_bloom" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.dedupLines over the same synthetic successor-paired
+    // two-line docs: a line survives only in its min-doc_id holder,
+    // docs rebuild from surviving lines in original order
+    "q_dedup_lines" ->
+      """WITH paired AS (
+        |  SELECT d.doc_id, d.text || chr(10) || n.text AS text
+        |  FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM paired),
+        |lines AS (
+        |  SELECT doc_id, arr[pos] AS line, pos
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM ls) q),
+        |win AS (SELECT line, MIN(doc_id) AS keep FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l JOIN win w ON l.line = w.line AND l.doc_id = w.keep)
+        |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS fp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors Dedup.benchmarkOverlap: distinct word-8-grams per doc
     // (list-slice windows; docs under 8 tokens produce none), training
@@ -1875,6 +2008,28 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // same feature CTEs as q_text_stats; the logit is pure IEEE-exact
+    // arithmetic (+, ·, ÷, √) over them, so floor-quantization is safe
+    "q_quality_gate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |    CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+        |    CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*) AS stopword_ratio
+        |  FROM t GROUP BY doc_id),
+        |f AS (
+        |  SELECT a.doc_id,
+        |    -2.0 + 0.25 * sqrt(CAST(a.n_tokens AS DOUBLE))
+        |      + 0.1 * a.avg_token_len
+        |      + 2.0 * a.stopword_ratio
+        |      + -4.0 * (CAST(length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |                / CAST(length(d.text) AS DOUBLE)) AS logit
+        |  FROM agg a JOIN documents d ON a.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(floor(logit * 1000000) AS BIGINT) AS logit_q,
+        |  CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // explicit whitespace class (identical in Java and RE2);
     // [[:cntrl:]] (RE2) ≡ \p{Cntrl} (Java) for the remaining controls

@@ -61,11 +61,11 @@ object StressSmoke {
     "q_dedup_bloom", "q_dedup_incremental", "q_decontaminate", "q_text_chunk",
     "q_text_repetition", "q_text_redact", "q_text_entropy", "q_text_tfidf",
     "q_pipeline_pretrain", "q_sample_byrate", "q_sample_mixture",
-    "q_select_budget",
+    "q_select_budget", "q_dedup_lines", "q_quality_gate",
     // relational / window / TPC-H families (replicated star schema)
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q17", "q_tpch_q18",
-    "q_j2_nearest", "q_o1_topk", "q_profile",
-    "q_w1_interp", "q_w3_knn_impute")
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q17",
+    "q_tpch_q18", "q_j2_nearest", "q_o1_topk", "q_profile",
+    "q_mad_outliers", "q_w1_interp", "q_w3_knn_impute")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

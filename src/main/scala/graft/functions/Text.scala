@@ -86,6 +86,26 @@ object Text {
       .withColumn("punct_ratio", nPunct.cast("double") / length(t).cast("double"))
   }
 
+  /** Linear quality-classifier scoring (the shape of a fastText-style
+    * quality filter's inference pass, with externally-trained weights
+    * supplied as constants): adds `logit` = bias + w·features over the
+    * [[qualityFeatures]] pack, with √n_tokens as the length feature.
+    * Every op in the score — ÷ in the ratios, √, ·, + — is correctly
+    * rounded under IEEE 754, so unlike a log/exp sigmoid (libm-
+    * dependent last ulps) the logit is bit-identical across engines
+    * and repartitionings. Gate with `logit ≥ logit(τ)`, which is
+    * equivalent to `sigmoid(logit) ≥ τ` by monotonicity without ever
+    * evaluating the exponential. Pure expressions — scan speed. */
+  def qualityLogit(df: DataFrame, textCol: String, stopwords: Seq[String],
+                   bias: Double, wLen: Double, wTokLen: Double,
+                   wStop: Double, wPunct: Double): DataFrame =
+    qualityFeatures(df, textCol, stopwords)
+      .withColumn("logit",
+        lit(bias) + lit(wLen) * sqrt(col("n_tokens").cast("double")) +
+          lit(wTokLen) * col("avg_token_len") +
+          lit(wStop) * col("stopword_ratio") +
+          lit(wPunct) * col("punct_ratio"))
+
   /** Deterministic vocabulary ids (1-based in token sort order, i.e.
     * `row_number() OVER (ORDER BY token)`) built partition-parallel:
     * range-partition by token → sort within partitions → `zipWithIndex`.

@@ -62,6 +62,39 @@ object Dedup {
   def ledgerOf(docs: DataFrame, textCol: String): DataFrame =
     docs.select(Text.fingerprintMd5(col(textCol)).as("fp")).distinct()
 
+  /** Line-level exact dedup (the C4 / RefinedWeb corpus pass): each
+    * distinct line survives only in the document with the smallest id
+    * containing it; documents are rebuilt from their surviving lines in
+    * original order. Returns (idCol, textCol rebuilt, n_lines_kept) —
+    * documents whose every line lost are dropped entirely (an empty
+    * doc is corpus noise, and emitting it would need an outer join
+    * against the full input for no training value).
+    *
+    * Scale shape: lines explode pre-shuffle at scan speed; the winner
+    * table is a map-side-combined min() per distinct line (hot
+    * boilerplate lines — nav bars, cookie banners — collapse in the
+    * combiner, so the shuffle carries distinct lines, not occurrences);
+    * the keep decision is an equi-join on the line (AQE skew-split
+    * handles the boilerplate keys); the rebuild shuffles (id, pos,
+    * line) once and reassembles with an ordered in-memory sort per doc.
+    * Nothing is ever all-pairs. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
+    val winners = lines.groupBy("line").agg(min(col(idCol)).as("_keep"))
+    lines.join(winners, Seq("line"))
+      .filter(col(idCol) === col("_keep"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Bloom-prefiltered exact-dedup apply: byte-identical result to
     * [[applyExact]], but the corpus is filtered through a broadcast
     * Bloom filter of the winner ids BEFORE the semi-join shuffle — the

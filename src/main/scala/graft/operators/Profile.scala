@@ -86,6 +86,34 @@ object Profile {
       .drop("_mean", "_std", "_min", "_max")
   }
 
+  /** Per-group robust outlier detection via MAD (median absolute
+    * deviation): flags rows where |x − median(x)| > k·median(|x −
+    * median(x)|) — the standard heavy-tail-safe alternative to z-score
+    * cutoffs (one wild value shifts a mean/stddev fence but not a
+    * median/MAD fence). Adds `_med`, `_mad`, `_absdev`, `is_outlier`.
+    *
+    * Two aggregation passes by necessity (the MAD is a median OF the
+    * residuals of the first median); each pass produces a
+    * one-row-per-group bounds table joined back null-safely
+    * ([[joinBounds]]) that AQE broadcasts, so the corpus streams twice
+    * with no data-sized shuffle. Engine-reproducible on values whose
+    * median interpolation lands on exactly-representable halves
+    * (integer-valued doubles — counts, quantities): every downstream
+    * op (−, abs, ·k, >) is then IEEE-exact, so the outlier decision
+    * itself carries no rounding haze. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(median(col(valueCol)).as("_med"))
+    val withMed = joinBounds(df, med, groupCols)
+      .withColumn("_absdev", abs(col(valueCol) - col("_med")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(median(col("_absdev")).as("_mad"))
+    joinBounds(withMed, mad, groupCols)
+      .withColumn("is_outlier", col("_absdev") > lit(k) * col("_mad"))
+  }
+
   /** Per-group second-moment statistics — sample variance/stddev of
     * `x`, sample covariance and Pearson correlation of `(x, y)` —
     * computed engine-reproducibly (DuckDB-oracle parity) the same way

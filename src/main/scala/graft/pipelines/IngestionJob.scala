@@ -48,4 +48,19 @@ object IngestionJob {
   /** Test/local sink: parquet directory per table. */
   def parquetWriter(baseDir: String)(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$baseDir/$table")
+
+  /** Partition-granular incremental load: overwrite ONLY the
+    * partitions present in `df`, leaving every other partition of the
+    * target untouched (`partitionOverwriteMode=dynamic`, scoped to
+    * this write). The production shape of a daily batch re-load at
+    * 100 TB — re-running one day's extract replaces one day's
+    * directory instead of truncating the table the way the
+    * reference's `if_exists='replace'` does, and the re-run is
+    * idempotent per partition. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -675,4 +675,51 @@ class OperatorSpec extends SparkSpec {
       .flatMap(_.getAs[Array[Byte]](2)).map(_.toChar).mkString
     assert(joined === "0123456789abcdef")
   }
+
+  test("Profile.madOutliers: hand-computed fences, null-group rows survive") {
+    // group g: values 1..9 plus a wild 100 → med 5.5 (even 10-count
+    // interpolation), |dev| = {4.5,3.5,...,0.5,0.5,...,94.5} → MAD 2.5,
+    // fence k=3 → 7.5: outliers are |x−5.5| > 7.5 → just the 100
+    val df = ((1 to 9).map(i => (Some("g"), i.toDouble)) :+ ((Some("g"), 100.0)) :+
+      ((None: Option[String], 7.0))).toDF("grp", "x")
+    val got = Profile.madOutliers(df, "x", Seq("grp"), k = 3.0)
+    val gRows = got.filter(col("grp") === "g")
+    assert(gRows.filter(col("is_outlier")).select("x").as[Double].collect().toSeq === Seq(100.0))
+    assert(gRows.select("_med").distinct().as[Double].head() === 5.5)
+    assert(gRows.select("_mad").distinct().as[Double].head() === 2.5)
+    // the null-key group is its own group and must NOT be dropped by
+    // the bounds join-backs (the Profile.joinBounds <=> contract)
+    val nullRow = got.filter(col("grp").isNull)
+    assert(nullRow.count() === 1)
+    // singleton group: MAD 0 → nothing beats 0 strictly times k → not an outlier
+    assert(nullRow.filter(col("is_outlier")).count() === 0)
+  }
+
+  test("Dedup.dedupLines: min-id doc keeps each line, order preserved, all-lost docs dropped") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),     // beta lost to doc 1
+      (3L, "gamma\nbeta"),     // both lost → doc dropped
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "alpha\nbeta\ngamma", 3L),
+      (2L, "delta", 1L),
+      (4L, "epsilon", 1L)))
+  }
+
+  test("Text.qualityLogit: logit equals the hand-built linear score; gate is monotone") {
+    import graft.functions.Text
+    val df = Seq((1L, "the cat sat"), (2L, "zz!! ##")).toDF("doc_id", "text")
+    val got = Text.qualityLogit(df, "text", Seq("the"),
+      bias = -1.0, wLen = 0.5, wTokLen = 0.25, wStop = 3.0, wPunct = -2.0)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    // doc 1: 3 tokens, avg_len (11-2)/3=3, stop 1/3, punct 0/11
+    val z1 = -1.0 + 0.5 * math.sqrt(3.0) + 0.25 * 3.0 + 3.0 * (1.0 / 3.0) + -2.0 * 0.0
+    assert(got(1L) === z1)
+    // doc 2: 2 tokens "zz!!","##", avg_len 3, stop 0, punct 6/7 → penalized below doc 1
+    assert(got(2L) < got(1L))
+  }
 }

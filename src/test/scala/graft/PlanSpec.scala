@@ -22,6 +22,21 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"), readSchema)
   }
 
+  test("Q6: every predicate reaches the parquet scan (date range, band, cap)") {
+    // formatted mode — the simple plan string truncates long PushedFilters lists
+    val plan = SparkEntry.queries("q_tpch_q6")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    // scan reads only the 4 referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"), readSchema)
+  }
+
   test("J1 dim joins broadcast (no shuffle of the fact side)") {
     val plan = physicalPlan("q_j1_join3")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))

@@ -264,6 +264,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sPlan.contains("PartitionFilters: [isnotnull(day"), sPlan.take(1500))
   }
 
+  test("overwritePartitions replaces only the written partitions (dynamic mode)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpo_").toFile
+    base.deleteOnExit()
+    val path = s"$base/t"
+    val day1 = Seq((1L, "a", "d1"), (2L, "b", "d1")).toDF("id", "v", "day")
+    val day2 = Seq((3L, "c", "d2")).toDF("id", "v", "day")
+    graft.pipelines.IngestionJob.overwritePartitions(
+      day1.unionByName(day2), path, Seq("day"))
+    // re-load day2 only, with different content — day1 must survive
+    val day2b = Seq((30L, "cc", "d2"), (31L, "dd", "d2")).toDF("id", "v", "day")
+    graft.pipelines.IngestionJob.overwritePartitions(day2b, path, Seq("day"))
+    val got = spark.read.parquet(path).select("id", "day")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")))
+    // the option is write-scoped: the session default (static) is intact,
+    // so an unrelated full overwrite still truncates
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
