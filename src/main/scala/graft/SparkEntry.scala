@@ -349,6 +349,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // F-suite: JSON path extraction — the real props payload plus a
+    // constructed nested document, extracted with get_json_object
+    // (codegen'd Jackson walk; no UDF)
+    "q_f_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("props"),
+          concat(lit("{\"u\":"), col("user_id"),
+            lit(",\"m\":{\"t\":\""), col("event_type"), lit("\"}}")).as("js"))
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          get_json_object(col("js"), "$.m.t").as("jtype"),
+          get_json_object(col("js"), "$.u").cast("long").as("juser"))
+        .orderBy("event_id")
+    }),
+
     // S7: nested-map flatten via from_json + explode
     "q_s7_explode" -> ((s, dir) => {
       t(s, dir, "events")
@@ -388,6 +403,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
         .orderBy("event_type", "w_start")
+    }),
+
+    // Calendar densification: per-user daily activity grid — gap days
+    // are manufactured with null metrics (the rows W1/W2/W3 would then
+    // fill); spans from each user's first to last active day
+    "q_densify" -> ((s, dir) => {
+      val daily = eventsPrep(s, dir).filter(col("user_id") < 50)
+        .withColumn("day", expr("s div 86400"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("v"))
+      Temporal.densify(daily, Seq("user_id"), "day", step = 1L)
+        .orderBy("user_id", "day")
+    }),
+
+    // SCD-2 dimension build: per-user event-type validity intervals
+    // from the event change log — runs of unchanged state collapse to
+    // one row with [valid_from, valid_to) and an is_current flag
+    "q_scd2" -> ((s, dir) => {
+      val e = eventsPrep(s, dir).filter(col("user_id") < 30)
+        .select("user_id", "event_id", "event_type", "s")
+      Temporal.scd2(e, Seq("user_id"), "s", Seq(col("event_id")), Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id").as("anchor_event"),
+          col("valid_from"), col("valid_to"),
+          when(col("is_current"), 1).otherwise(0).as("is_current"))
+        .orderBy("user_id", "valid_from", "anchor_event")
+    }),
+
+    // Stream-stream join (batch face): purchases within the hour after
+    // each view by the same user — the attribution/funnel primitive;
+    // the same StreamingOps.followWithinJoin runs watermarked on live
+    // streams (StreamingSpec proves stream ≡ batch)
+    "q_stream_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      StreamingOps.followWithinJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"),
+        within = "1 hour")
+        .select("user_id", "l_event", "r_event")
+        .orderBy("user_id", "l_event", "r_event")
     }),
 
     // Anti-join: customers with no orders
@@ -1472,6 +1526,58 @@ object SparkEntry {
       """SELECT event_id, 'k' AS key,
         |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_f_json" ->
+      """WITH j AS (
+        |  SELECT event_id, props,
+        |    '{"u":' || user_id || ',"m":{"t":"' || event_type || '"}}' AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  json_extract_string(js, '$.m.t') AS jtype,
+        |  CAST(json_extract_string(js, '$.u') AS BIGINT) AS juser
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    "q_densify" ->
+      s"""WITH e AS ($eventsPrepSql),
+         |a AS (
+         |  SELECT user_id, s // 86400 AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${dsumSql("value")} AS v
+         |  FROM e WHERE user_id < 50 GROUP BY user_id, s // 86400),
+         |sp AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM a GROUP BY user_id),
+         |cal AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM sp)
+         |SELECT c.user_id, c.day, a.n, a.v
+         |FROM cal c LEFT JOIN a ON c.user_id = a.user_id AND c.day = a.day
+         |ORDER BY c.user_id, c.day""".stripMargin,
+
+    "q_scd2" ->
+      s"""WITH e AS ($eventsPrepSql),
+         |d AS (
+         |  SELECT user_id, event_id, event_type, s,
+         |    lag(event_type) OVER w AS prev
+         |  FROM e WHERE user_id < 30
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         |f AS (
+         |  SELECT user_id, event_id, event_type, s FROM d
+         |  WHERE prev IS NULL OR prev <> event_type),
+         |g AS (
+         |  SELECT user_id, event_type, event_id AS anchor_event, s AS valid_from,
+         |    lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS valid_to
+         |  FROM f)
+         |SELECT user_id, event_type, anchor_event, valid_from, valid_to,
+         |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+         |FROM g ORDER BY user_id, valid_from, anchor_event""".stripMargin,
+
+    // micros precision on both sides: tsCol is timestamp_micros(ts ns
+    // div 1000) and epoch_us reads the same parquet micros
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT v.user_id, v.event_id AS l_event, p.event_id AS r_event
+        |FROM e v JOIN e p
+        |  ON v.user_id = p.user_id AND p.us >= v.us AND p.us <= v.us + 3600000000
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY v.user_id, l_event, r_event""".stripMargin,
 
     "q_asof_join" ->
       s"""WITH e AS ($eventsPrepSql),

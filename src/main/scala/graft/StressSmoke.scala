@@ -62,6 +62,7 @@ object StressSmoke {
     "q_text_repetition", "q_text_redact", "q_text_entropy", "q_text_tfidf",
     "q_pipeline_pretrain", "q_sample_byrate", "q_sample_mixture",
     "q_select_budget", "q_dedup_lines", "q_quality_gate",
+    "q_densify", "q_stream_join", "q_f_json", "q_scd2",
     // relational / window / TPC-H families (replicated star schema)
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q17",
     "q_tpch_q18", "q_j2_nearest", "q_o1_topk", "q_profile",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,68 @@ object Temporal {
     lb.join(rb, keyCols :+ "_bk")
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("_bk")
+  }
+
+  /** SCD-2 (slowly-changing-dimension type 2) build: collapse a change
+    * log into validity intervals — one row per run of unchanged
+    * `stateCols` per key, carrying `valid_from` (the run's first
+    * `timeCol`), `valid_to` (the next run's start, null while current)
+    * and `is_current`. The standard warehouse shape for "state of the
+    * dimension as of t", queryable with a [[rangeJoin]]/[[asOfJoin]].
+    *
+    * Consecutive-duplicate collapse uses a null-safe lag compare (a
+    * state column going null IS a change), and `tieBreak` columns make
+    * equal-timestamp ordering deterministic. Both window passes share
+    * one (key, time) partitioning — the second sort reuses the first's
+    * shuffle, so the whole build is one exchange + a linear scan per
+    * key, the same shuffle-optimal shape as [[asOfJoin]]. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], timeCol: String,
+           tieBreak: Seq[Column], stateCols: Seq[String]): DataFrame = {
+    val order = col(timeCol) +: tieBreak
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val state = struct(stateCols.map(col): _*)
+    val anchors = changes
+      .withColumn("_prev_state", lag(state, 1).over(w))
+      .filter(col("_prev_state").isNull || not(col("_prev_state") <=> state))
+      .drop("_prev_state")
+    anchors
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Calendar densification: expand each group to one row per `step`
+    * tick from its min to its max `timeCol` (epoch-second/ordinal
+    * longs), left-joining the original rows so manufactured gap rows
+    * carry nulls in every value column. The reconstruction operators
+    * (W1 interpolation, W2 seasonal fill, W3 KNN impute) fill values
+    * on EXISTING rows — densify manufactures the missing rows so a
+    * series with absent dates (the reference's temperature gaps,
+    * `temperaturas_rm.py:180-243`) has rows to fill at all.
+    *
+    * Input times are assumed on-grid (floor/`date_trunc` them first
+    * otherwise — off-grid rows would miss every tick). Scale shape:
+    * the span table is one row per group, the exploded calendar is
+    * output-sized, and the one shuffle is the (group, tick) equi-join
+    * — nothing is ever quadratic. Group keys join back null-safely
+    * (`<=>`), the [[graft.operators.Profile]] `joinBounds` contract:
+    * a null-keyed series must densify, not vanish. Rows with a null
+    * time are excluded (no tick to anchor). */
+  def densify(df: DataFrame, groupCols: Seq[String], timeCol: String,
+              step: Long = 1L): DataFrame = {
+    require(step > 0, s"need step > 0, got $step")
+    val spans = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
+    val cal = spans
+      .filter(col("_lo").isNotNull)
+      .select(groupCols.map(c => col(c).as("_g_" + c)) :+
+        explode(sequence(col("_lo"), col("_hi"), lit(step))).as("_tick"): _*)
+    val cond = (groupCols.map(c => col("_g_" + c) <=> col(c)) :+
+      (col("_tick") === col(timeCol))).reduce(_ && _)
+    val valueCols = df.columns.toSeq
+      .filterNot(c => groupCols.contains(c) || c == timeCol)
+    cal.join(df, cond, "left")
+      .select(groupCols.map(c => col("_g_" + c).as(c)) ++
+        Seq(col("_tick").as(timeCol)) ++ valueCols.map(col): _*)
   }
 }

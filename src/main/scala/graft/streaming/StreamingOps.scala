@@ -71,6 +71,41 @@ object StreamingOps {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream inner join — the funnel/attribution primitive:
+    * attach to every left event the right-side events of the SAME user
+    * whose event time falls in `[left, left + within]` (e.g. purchases
+    * within the hour after a view). Works on batch OR streaming
+    * DataFrames; in streaming BOTH sides carry watermarks and the
+    * bounded time-range condition is exactly what lets Spark expire
+    * buffered join state (without it, stream-stream state grows
+    * forever). Inner matches emit as soon as both sides arrive; state
+    * eviction trails by the watermark.
+    *
+    * Scale shape: the equi-key (user_id) drives the shuffle — the
+    * range condition is a post-join filter on co-located rows, never a
+    * nested-loop; per-key buffered state is bounded by `within` +
+    * `watermark` of traffic. */
+  def followWithinJoin(left: DataFrame, right: DataFrame,
+                       within: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val l = left
+      .withColumn("l_time", tsCol())
+      .withWatermark("l_time", watermark)
+      .select(col("user_id"), col("event_id").as("l_event"),
+        col("event_type").as("l_type"), col("l_time"))
+    val r = right
+      .withColumn("r_time", tsCol())
+      .withWatermark("r_time", watermark)
+      .select(col("user_id").as("_r_user"), col("event_id").as("r_event"),
+        col("event_type").as("r_type"), col("r_time"))
+    l.join(r,
+      col("user_id") === col("_r_user") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_event"), col("r_event"),
+        col("l_type"), col("r_type"), col("l_time"), col("r_time"))
+  }
+
   /** Read the events parquet as a (bounded) stream — used by tests to
     * drive the streaming operators synchronously via the memory sink. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

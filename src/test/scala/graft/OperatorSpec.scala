@@ -710,6 +710,46 @@ class OperatorSpec extends SparkSpec {
       (4L, "epsilon", 1L)))
   }
 
+  test("Temporal.scd2: runs collapse, null state transitions count as changes, current row open") {
+    val log = Seq(
+      (1L, 1L, Some("a")), (1L, 2L, Some("a")),   // run of a → one row
+      (1L, 3L, Some("b")),
+      (1L, 4L, None),                             // b → null IS a change
+      (1L, 5L, Some("b")),                        // null → b again
+      (2L, 1L, Some("x"))
+    ).toDF("k", "t", "st")
+    val got = Temporal.scd2(log, Seq("k"), "t", Seq(col("t")), Seq("st"))
+      .select("k", "st", "valid_from", "valid_to", "is_current")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, Some("a"), 1L, Some(3L), false),
+      (1L, Some("b"), 3L, Some(4L), false),
+      (1L, None, 4L, Some(5L), false),
+      (1L, Some("b"), 5L, None, true),
+      (2L, Some("x"), 1L, None, true)))
+    // one exchange: both window passes share the (key, time) sort
+    val plan = Temporal.scd2(log, Seq("k"), "t", Seq(col("t")), Seq("st"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan.take(2000))
+  }
+
+  test("Temporal.densify manufactures gap ticks with null values, null-safe on group keys") {
+    val df = Seq((Some("a"), 1L, Some(10.0)), (Some("a"), 4L, Some(40.0)),
+      (None: Option[String], 7L, Some(7.0))).toDF("g", "t", "v")
+    val got = Temporal.densify(df, Seq("g"), "t")
+      .as[(Option[String], Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      (Some("a"), 1L, Some(10.0)), (Some("a"), 2L, None), (Some("a"), 3L, None),
+      (Some("a"), 4L, Some(40.0)),
+      (None, 7L, Some(7.0))))   // null-keyed series densifies, not vanishes
+    // step > 1: grid at the stride, existing rows must be on-grid to match
+    val wide = Temporal.densify(
+      Seq(("a", 0L, 1.0), ("a", 20L, 2.0)).toDF("g", "t", "v"),
+      Seq("g"), "t", step = 10L)
+    assert(wide.count() === 3)
+    assert(wide.filter(col("v").isNull).count() === 1)
+  }
+
   test("Text.qualityLogit: logit equals the hand-built linear score; gate is monotone") {
     import graft.functions.Text
     val df = Seq((1L, "the cat sat"), (2L, "zz!! ##")).toDF("doc_id", "text")

@@ -264,6 +264,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(sPlan.contains("PartitionFilters: [isnotnull(day"), sPlan.take(1500))
   }
 
+  test("writer file-size control: maxRecordsPerFile splits oversized partitions") {
+    // the small-files/huge-files hygiene knob for 100 TB table layout:
+    // one fat task still emits bounded parquet files
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrpf_").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/t"
+    spark.range(6000).coalesce(1)
+      .write.option("maxRecordsPerFile", "1000").mode("overwrite").parquet(path)
+    val files = new java.io.File(path).listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length === 6, files.map(_.getName).mkString(","))
+    assert(spark.read.parquet(path).count() === 6000)
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // the runtime half of the skew story (Skew.saltedJoin is the
+    // explicit half): one key holding half the fact rows must trigger
+    // AQE's OptimizeSkewedJoin under cluster-realistic thresholds,
+    // proving the session config leaves the optimization reachable
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(100000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        concat(lit("padpadpadpadpadpad"), col("id")).as("pad"))
+      val small = spark.range(1000).select(col("id").as("k"), lit("v").as("v"))
+      val j = big.join(small, "k")
+      // collect THIS df so AQE finalizes THIS plan (count() builds another)
+      assert(j.collect().length === 50500)   // key 0: 50k dups + 500 odd ids < 1000
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("overwritePartitions replaces only the written partitions (dynamic mode)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_dpo_").toFile

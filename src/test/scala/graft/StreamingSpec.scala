@@ -175,6 +175,34 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("followWithinJoin: stream-stream join == batch join (views → purchases)") {
+    import spark.implicits._
+    val ev = Tables(spark, sf, "events")
+    val batch = StreamingOps.followWithinJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"), within = "6 hours")
+      .select("l_event", "r_event").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir.getPath, "events.parquet"))
+    // two independent stream reads of the same source — a genuine
+    // stream-stream join with per-side watermarks, not a self-join alias
+    val views = StreamingOps.readEventStream(spark, dir.getPath)
+      .filter(col("event_type") === "view")
+    val purchases = StreamingOps.readEventStream(spark, dir.getPath)
+      .filter(col("event_type") === "purchase")
+    val q = StreamingOps.followWithinJoin(views, purchases, within = "6 hours")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_out")
+      .select("l_event", "r_event").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("sessionize runs on the event stream shape (batch check)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
