@@ -99,6 +99,27 @@ object StressSmoke {
         e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
         dim = 64, k = 5, bits = 4, tables = 8, hash = XxHash64)
         .orderBy("q_id", "rank")
+    }),
+    // the canonical q_densify/q_scd2 slice to user_id < 50 for a
+    // bounded oracle — replica key offsets would leave that slice
+    // 1×-sized, so the probe runs them over ALL users (replicated
+    // user counts: the linear dimension these operators scale on)
+    "q_densify" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000000000) div 86400"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.densify(daily, Seq("user_id"), "day")
+        .orderBy("user_id", "day")
+    }),
+    "q_scd2" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("s", expr("ts div 1000000000"))
+        .select("user_id", "event_id", "event_type", "s")
+      graft.operators.Temporal.scd2(e, Seq("user_id"), "s",
+        Seq(col("event_id")), Seq("event_type"))
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from")
     }))
 
   /** Replicate `name` `reps`×, adding `off * k` to each column in
