@@ -1794,10 +1794,16 @@ object SparkEntry {
         |lines AS (
         |  SELECT doc_id, arr[pos] AS line, pos
         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM ls) q),
-        |win AS (SELECT line, MIN(doc_id) AS keep FROM lines GROUP BY line),
+        |win AS (
+        |  SELECT line, MIN(doc_id) AS kd FROM lines GROUP BY line),
+        |win2 AS (
+        |  SELECT l.line, l.doc_id, MIN(l.pos) AS kp
+        |  FROM lines l JOIN win w ON l.line = w.line AND l.doc_id = w.kd
+        |  GROUP BY l.line, l.doc_id),
         |kept AS (
         |  SELECT l.doc_id, l.pos, l.line
-        |  FROM lines l JOIN win w ON l.line = w.line AND l.doc_id = w.keep)
+        |  FROM lines l JOIN win2 w
+        |    ON l.line = w.line AND l.doc_id = w.doc_id AND l.pos = w.kp)
         |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS fp,
         |  CAST(COUNT(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -63,29 +63,32 @@ object Dedup {
     docs.select(Text.fingerprintMd5(col(textCol)).as("fp")).distinct()
 
   /** Line-level exact dedup (the C4 / RefinedWeb corpus pass): each
-    * distinct line survives only in the document with the smallest id
-    * containing it; documents are rebuilt from their surviving lines in
-    * original order. Returns (idCol, textCol rebuilt, n_lines_kept) —
-    * documents whose every line lost are dropped entirely (an empty
-    * doc is corpus noise, and emitting it would need an outer join
-    * against the full input for no training value).
+    * distinct line survives exactly ONCE in the whole corpus — at its
+    * first occurrence, i.e. the smallest (document id, position) —
+    * and documents are rebuilt from their surviving lines in original
+    * order (so a within-document repeat collapses too). Returns
+    * (idCol, textCol rebuilt, n_lines_kept); documents whose every
+    * line lost are dropped entirely (an empty doc is corpus noise, and
+    * emitting it would need an outer join against the full input for
+    * no training value). Idempotent by construction — property-spec'd.
     *
     * Scale shape: lines explode pre-shuffle at scan speed; the winner
-    * table is a map-side-combined min() per distinct line (hot
-    * boilerplate lines — nav bars, cookie banners — collapse in the
-    * combiner, so the shuffle carries distinct lines, not occurrences);
-    * the keep decision is an equi-join on the line (AQE skew-split
-    * handles the boilerplate keys); the rebuild shuffles (id, pos,
-    * line) once and reassembles with an ordered in-memory sort per doc.
-    * Nothing is ever all-pairs. */
+    * table is a map-side-combined min(struct(id, pos)) per distinct
+    * line (hot boilerplate lines — nav bars, cookie banners — collapse
+    * in the combiner, so the shuffle carries distinct lines, not
+    * occurrences); the keep decision is an equi-join on the line (AQE
+    * skew-split handles the boilerplate keys); the rebuild shuffles
+    * (id, pos, line) once and reassembles with an ordered in-memory
+    * sort per doc. Nothing is ever all-pairs. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
-    val winners = lines.groupBy("line").agg(min(col(idCol)).as("_keep"))
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("_keep"))
     lines.join(winners, Seq("line"))
-      .filter(col(idCol) === col("_keep"))
+      .filter(struct(col(idCol), col("pos")) === col("_keep"))
       .groupBy(col(idCol))
       .agg(
         array_join(

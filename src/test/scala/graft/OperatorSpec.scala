@@ -695,12 +695,12 @@ class OperatorSpec extends SparkSpec {
     assert(nullRow.filter(col("is_outlier")).count() === 0)
   }
 
-  test("Dedup.dedupLines: min-id doc keeps each line, order preserved, all-lost docs dropped") {
+  test("Dedup.dedupLines: first occurrence keeps each line, order preserved, all-lost docs dropped") {
     val docs = Seq(
       (1L, "alpha\nbeta\ngamma"),
-      (2L, "beta\ndelta"),     // beta lost to doc 1
-      (3L, "gamma\nbeta"),     // both lost → doc dropped
-      (4L, "epsilon")
+      (2L, "beta\ndelta"),          // beta lost to doc 1
+      (3L, "gamma\nbeta"),          // both lost → doc dropped
+      (4L, "epsilon\nepsilon")      // within-doc repeat collapses to the first
     ).toDF("doc_id", "text")
     val got = Dedup.dedupLines(docs, "doc_id", "text")
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq

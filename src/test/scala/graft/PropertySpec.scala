@@ -76,6 +76,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines is idempotent and never keeps a line twice across the corpus") {
+    import graft.operators.Dedup
+    cases(4)(List.fill(8)(List.fill(rnd.nextInt(4) + 1)(s"l${rnd.nextInt(6)}").mkString("\n"))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.dedupLines(docs, "doc_id", "text")
+      val lines = once.select(explode(split(col("text"), "\n")).as("l"))
+      // global uniqueness: each distinct line survives exactly once
+      assert(lines.count() === lines.distinct().count())
+      // idempotence: a second pass changes nothing
+      val twice = Dedup.dedupLines(once.select("doc_id", "text"), "doc_id", "text")
+      assert(twice.select("doc_id", "text").as[(Long, String)].collect().toSet ===
+        once.select("doc_id", "text").as[(Long, String)].collect().toSet)
+      // conservation: kept lines = distinct lines of the input
+      val inputDistinct = docs.select(explode(split(col("text"), "\n")).as("l"))
+        .distinct().count()
+      assert(lines.count() === inputDistinct)
+    }
+  }
+
+  test("scd2 intervals partition each key's timeline: contiguous, non-overlapping, one current") {
+    import graft.operators.Temporal
+    cases(4)(List.fill(12)((rnd.nextInt(3).toLong, rnd.nextInt(20).toLong,
+      s"s${rnd.nextInt(3)}"))) { raw =>
+      // distinct (k, t): equal timestamps would make run order arbitrary
+      val log = raw.distinct.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val df = log.toDF("k", "t", "st")
+      val got = Temporal.scd2(df, Seq("k"), "t", Seq(col("st")), Seq("st"))
+        .select("k", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, Option[Long], Boolean)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      got.foreach { case (k, ivs) =>
+        val ts = log.filter(_._1 == k).map(_._2).sorted
+        assert(ivs.head._2 === ts.head)                    // starts at first change
+        assert(ivs.count(_._4) === 1 && ivs.last._4)       // exactly one current row
+        assert(ivs.last._3.isEmpty)                        // open-ended
+        ivs.sliding(2).filter(_.size == 2).foreach { case Array(a, b) =>
+          assert(a._3.contains(b._2), s"key $k: gap/overlap between $a and $b")
+        }
+      }
+    }
+  }
+
+  test("densify output size is exactly the sum of group spans; values survive on-grid") {
+    import graft.operators.Temporal
+    cases(4)(List.fill(10)((rnd.nextInt(3), rnd.nextInt(15).toLong))) { raw =>
+      val pts = raw.distinct
+      val df = pts.map { case (g, t) => (g, t, 1.0) }.toDF("g", "t", "v")
+      val out = Temporal.densify(df, Seq("g"), "t")
+      val bySpan = pts.groupBy(_._1).values.map { ps =>
+        val ts = ps.map(_._2); ts.max - ts.min + 1
+      }.sum
+      assert(out.count() === bySpan)
+      assert(out.filter(col("v").isNotNull).count() === pts.size)
+    }
+  }
+
   test("J2 nearestJoin always picks the global argmin") {
     cases(4)((List.fill(10)(rnd.nextDouble() * 100), List.fill(7)(rnd.nextDouble() * 100))) {
       case (ls, rs) =>
