@@ -754,6 +754,18 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup 3b: signature-estimate verification — the 100 TB MinHash
+    // deployment: candidates are scored by signature agreement alone
+    // (16 longs per doc ride the join, the shingle sets never reload);
+    // integer-exact end-to-end under the det family, so full oracle
+    "q_dedup_minhash_est" -> ((s, dir) => {
+      Dedup.minhashLshPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, numHashes = 16, bands = 8, threshold = 0.05,
+        verify = EstimateVerify)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup 4: SimHash Hamming-band near-dup. Default DetHash family:
     // every step is integer arithmetic, so the full oracle checks it
     // bit-for-bit; pigeonhole banding identical to the xxhash64 arm.
@@ -1884,6 +1896,50 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = c.doc_a
         |JOIN sz sb ON sb.doc_id = c.doc_b
         |WHERE CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) >= 0.05
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    // same signature/band CTEs as q_dedup_minhash; verification is the
+    // signature-agreement fraction instead of the exact shingle Jaccard
+    "q_dedup_minhash_est" -> {
+      val sigMins = (0 until 16).map { i =>
+        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 8).map { j =>
+        val (x, y) = (j * 2, j * 2 + 1)
+        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |fp AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 AS f
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigMins
+        |  FROM fp GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST($agree AS DOUBLE) / 16 AS jaccard
+        |FROM cand c
+        |JOIN sig a ON a.doc_id = c.doc_a
+        |JOIN sig b ON b.doc_id = c.doc_b
+        |WHERE CAST($agree AS DOUBLE) / 16 >= 0.05
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
     },
 

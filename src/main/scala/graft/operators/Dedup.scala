@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   * collisions. Skewed buckets (stop-shingles) are capped before the
   * self-join.
   */
+/** Verification mode for MinHash candidate pairs. */
+sealed trait MinHashVerify
+
+/** Exact Jaccard on the distinct-shingle arrays: candidates re-join
+  * the shingle sets, so the reported similarity is the true one and
+  * the threshold is exact. The right default below ~10 TB. */
+case object ExactVerify extends MinHashVerify
+
+/** Estimated Jaccard = fraction of agreeing signature components —
+  * the standard MinHash deployment at corpus scale: verification
+  * never touches the shingle arrays again, so the candidate join
+  * carries `numHashes` longs per doc instead of full shingle sets.
+  * Unbiased with standard error √(J(1−J)/k); pairs within ~1/√k of
+  * the threshold can land on the other side of it vs [[ExactVerify]]
+  * (recall/precision blur, tunable via k = numHashes). */
+case object EstimateVerify extends MinHashVerify
+
 object Dedup {
 
   /** Exact dedup on normalized text: one row per distinct content with
@@ -224,9 +241,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       w: Int, numHashes: Int, bands: Int,
                       threshold: Double,
-                      hash: HashFamily = DetHash): DataFrame = hash match {
-    case DetHash => minhashDet(docs, idCol, textCol, w, numHashes, bands, threshold)
-    case XxHash64 => minhashXx(docs, idCol, textCol, w, numHashes, bands, threshold)
+                      hash: HashFamily = DetHash,
+                      verify: MinHashVerify = ExactVerify): DataFrame = hash match {
+    case DetHash => minhashDet(docs, idCol, textCol, w, numHashes, bands, threshold, verify)
+    case XxHash64 => minhashXx(docs, idCol, textCol, w, numHashes, bands, threshold, verify)
   }
 
   /** xxhash64 arm of [[minhashLshPairs]]: the distinct-shingle array is
@@ -238,7 +256,8 @@ object Dedup {
     * numHashes× through the interpreter). */
   private def minhashXx(docs: DataFrame, idCol: String, textCol: String,
                         w: Int, numHashes: Int, bands: Int,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        verify: MinHashVerify = ExactVerify): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val shingled = docs.select(
@@ -257,7 +276,22 @@ object Dedup {
       .join(banded.select(col("doc").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, shingled, threshold)
+    verify match {
+      case ExactVerify => verifyJaccard(cand, shingled, threshold)
+      case EstimateVerify =>
+        // null components (empty shingle set) never agree: a === b is
+        // null-propagating and when() falls to 0
+        val agree = size(filter(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, lit(true)).otherwise(lit(false))),
+          x => x))
+        cand
+          .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("jaccard", agree.cast("double") / numHashes)
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs on
@@ -290,7 +324,8 @@ object Dedup {
     * generation are string-key equi-joins. */
   private def minhashDet(docs: DataFrame, idCol: String, textCol: String,
                          w: Int, numHashes: Int, bands: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         verify: MinHashVerify = ExactVerify): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val P = 2147483647L   // 2^31 − 1: keeps aᵢ·f + bᵢ < 2^63 (ANSI-safe)
@@ -315,7 +350,21 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, shingled, threshold)
+    verify match {
+      case ExactVerify => verifyJaccard(cand, shingled, threshold)
+      case EstimateVerify =>
+        val sa = sigs.select(col("doc").as("doc_a") +:
+          (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
+        val sb = sigs.select(col("doc").as("doc_b") +:
+          (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
+        val agree = (0 until numHashes)
+          .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("jaccard", agree.cast("double") / numHashes)
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** Connected components over a near-dup pair list — turns pairwise

@@ -710,6 +710,26 @@ class OperatorSpec extends SparkSpec {
       (4L, "epsilon", 1L)))
   }
 
+  test("MinHash estimate-verify scores the same candidates within the k=16 error bound") {
+    val docs = Tables(spark, sf, "documents")
+    def run(v: MinHashVerify) = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      w = 3, numHashes = 16, bands = 8, threshold = 0.0, verify = v)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = run(ExactVerify)
+    val est = run(EstimateVerify)
+    // same banding → same candidate set at threshold 0
+    assert(est.keySet === exact.keySet)
+    assert(exact.nonEmpty)
+    // per-pair agreement fraction is an unbiased Jaccard estimator with
+    // std err √(J(1−J)/16) ≤ 0.125 — deterministic data, so these are
+    // fixed numbers, not a flaky statistical gate
+    val diffs = exact.map { case (k, j) => math.abs(est(k) - j) }
+    assert(diffs.max <= 0.5, s"max |est-exact| = ${diffs.max}")
+    assert(diffs.sum / diffs.size <= 0.2, s"mean |est-exact| = ${diffs.sum / diffs.size}")
+  }
+
   test("Temporal.scd2: runs collapse, null state transitions count as changes, current row open") {
     val log = Seq(
       (1L, 1L, Some("a")), (1L, 2L, Some("a")),   // run of a → one row
