@@ -678,6 +678,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Dedup 3c: incremental near-dup — new docs (id ≥ 250) deduped
+    // against the persisted MinHash signature ledger of history
+    // (id < 250), then batch-internally (cluster-apply, min-id reps);
+    // history text is never rescanned, only its 16-long signatures
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = Dedup.minhashLedgerOf(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", w = 3)
+      Dedup.applyMinhashIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Dedup 1f: line-level exact dedup (C4-style) — synthetic two-line
     // docs built by pairing each doc with its successor, so every
     // original text occurs as a line in exactly two docs and the
@@ -1897,6 +1911,72 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = c.doc_b
         |WHERE CAST(i.i AS DOUBLE) / CAST(sa.c + sb.c - i.i AS DOUBLE) >= 0.05
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    // same signature/band machinery as q_dedup_minhash over ALL docs;
+    // history = id < 250, batch = id ≥ 250; estimate-verified history
+    // dedup, then batch-internal clustering via the recursive CTE
+    "q_dedup_minhash_inc" -> {
+      val sigMins = (0 until 16).map { i =>
+        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 8).map { j =>
+        val (x, y) = (j * 2, j * 2 + 1)
+        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
+      }.mkString("\n|  UNION ALL ")
+      def agree(l: String, r: String) = (0 until 16)
+        .map(i => s"(CASE WHEN $l.s$i = $r.s$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
+        |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |fp AS (
+        |  SELECT doc_id, s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 2147483647 AS f
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigMins
+        |  FROM fp GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |candh AS (
+        |  SELECT DISTINCT n.doc_id AS a, h.doc_id AS b
+        |  FROM bands n JOIN bands h ON n.band = h.band AND n.key = h.key
+        |  WHERE n.doc_id >= 250 AND h.doc_id < 250),
+        |duph AS (
+        |  SELECT DISTINCT c.a FROM candh c
+        |  JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
+        |  WHERE CAST(${agree("x", "y")} AS DOUBLE) / 16 >= 0.05),
+        |fresh AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id >= 250 AND doc_id NOT IN (SELECT a FROM duph)),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id
+        |    AND x.doc_id IN (SELECT doc_id FROM fresh)
+        |    AND y.doc_id IN (SELECT doc_id FROM fresh)),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b FROM cands c
+        |  JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+        |  WHERE CAST(${agree("a", "b")} AS DOUBLE) / 16 >= 0.05),
+        |e AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM e
+        |  UNION
+        |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s),
+        |nonrep AS (
+        |  SELECT s AS node FROM reach GROUP BY s HAVING LEAST(s, MIN(dd)) <> s)
+        |SELECT doc_id FROM fresh
+        |WHERE doc_id NOT IN (SELECT node FROM nonrep)
+        |ORDER BY doc_id""".stripMargin
     },
 
     // same signature/band CTEs as q_dedup_minhash; verification is the

@@ -327,24 +327,11 @@ object Dedup {
                          threshold: Double,
                          verify: MinHashVerify = ExactVerify): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val P = 2147483647L   // 2^31 − 1: keeps aᵢ·f + bᵢ < 2^63 (ANSI-safe)
     val shingled = docs.select(
       col(idCol).as("doc"),
       array_distinct(Text.shingles(col(textCol), w)).as("sh"))
-    val fp = shingled
-      .select(col("doc"), explode(col("sh")).as("s"))
-      .withColumn("f", pmod(graft.functions.RollingFp(col("s")), lit(P)))
-    val sigCols = (0 until numHashes).map { i =>
-      min(pmod(col("f") * (1L + 7919L * i) + (12345L + 104729L * i), lit(P)))
-        .as(s"s$i")
-    }
-    val sigs = fp.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
-    val banded = sigs.select(col("doc"), explode(array((0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws("_", (0 until r).map(k => col(s"s${j * r + k}")): _*).as("key"))
-    }: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sigs = sigsFromShingled(shingled, numHashes)
+    val banded = detBands(sigs, numHashes, bands)
     val cand = banded.select(col("doc").as("doc_a"), col("band"), col("key"))
       .join(banded.select(col("doc").as("doc_b"), col("band"), col("key")),
         Seq("band", "key"))
@@ -353,18 +340,101 @@ object Dedup {
     verify match {
       case ExactVerify => verifyJaccard(cand, shingled, threshold)
       case EstimateVerify =>
-        val sa = sigs.select(col("doc").as("doc_a") +:
-          (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
-        val sb = sigs.select(col("doc").as("doc_b") +:
-          (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
-        val agree = (0 until numHashes)
-          .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-          .withColumn("jaccard", agree.cast("double") / numHashes)
+        estimateScored(cand, sigs, sigs, numHashes)
           .filter(col("jaccard") >= threshold)
           .select("doc_a", "doc_b", "jaccard")
     }
+  }
+
+  private val MinHashP = 2147483647L // 2^31 − 1: keeps aᵢ·f + bᵢ < 2^63 (ANSI-safe)
+
+  /** Det signatures (doc, s0..s{n−1}) from a (doc, sh) shingle table;
+    * docs with zero shingles produce no row. */
+  private def sigsFromShingled(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val fp = shingled
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .withColumn("f", pmod(graft.functions.RollingFp(col("s")), lit(MinHashP)))
+    val sigCols = (0 until numHashes).map { i =>
+      min(pmod(col("f") * (1L + 7919L * i) + (12345L + 104729L * i), lit(MinHashP)))
+        .as(s"s$i")
+    }
+    fp.groupBy(col("doc")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band keys (doc, band, key) from a det signature table. */
+  private def detBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(col("doc"), explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until r).map(k => col(s"s${j * r + k}")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Score candidate pairs by signature-component agreement (the
+    * [[EstimateVerify]] kernel), joining wide signature tables keyed
+    * `doc`. */
+  private def estimateScored(cand: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+                             numHashes: Int): DataFrame = {
+    val sa = sigsA.select(col("doc").as("doc_a") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
+    val sb = sigsB.select(col("doc").as("doc_b") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", agree.cast("double") / numHashes)
+  }
+
+  /** The MinHash ledger rows contributed by a batch: the det signature
+    * table (doc, s0..s{numHashes−1}) — numHashes longs per document,
+    * the near-dup analogue of [[ledgerOf]]'s fingerprints. Persist it
+    * after a successful write; [[applyMinhashIncremental]] dedups the
+    * next batch against it without ever rereading history text. */
+  def minhashLedgerOf(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int, numHashes: Int = 16): DataFrame =
+    sigsFromShingled(docs.select(
+      col(idCol).as("doc"),
+      array_distinct(Text.shingles(col(textCol), w)).as("sh")), numHashes)
+
+  /** Incremental NEAR-dup dedup for continuous ingestion: drop new
+    * docs whose estimated Jaccard against any history doc reaches
+    * `threshold`, then near-dup the surviving batch internally
+    * (cluster-apply keeping min ids). History rides as `ledger` — the
+    * persisted [[minhashLedgerOf]] signature table, numHashes longs
+    * per historical doc — so the candidate join is (band, key) against
+    * a projection of the ledger and verification is signature
+    * agreement ([[EstimateVerify]]): the historical CORPUS is never
+    * rescanned, exactly like [[applyExactIncremental]] but for
+    * near-dups. Returns the kept new rows. */
+  def applyMinhashIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                              ledger: DataFrame, w: Int, numHashes: Int,
+                              bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newSigs = minhashLedgerOf(newDocs, idCol, textCol, w, numHashes)
+    val nb = detBands(newSigs, numHashes, bands)
+    val hb = detBands(ledger, numHashes, bands)
+    val candHist = nb.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(hb.select(col("doc").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    val dupVsHistory = estimateScored(candHist, newSigs, ledger, numHashes)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as(idCol)).distinct()
+    val fresh = newDocs.join(dupVsHistory, Seq(idCol), "left_anti")
+    val freshSigs = newSigs
+      .join(fresh.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+    val fb = detBands(freshSigs, numHashes, bands)
+    val candSelf = fb.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(fb.select(col("doc").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val selfPairs = estimateScored(candSelf, freshSigs, freshSigs, numHashes)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    applyNearDups(fresh, idCol, selfPairs)
   }
 
   /** Connected components over a near-dup pair list — turns pairwise

@@ -710,6 +710,27 @@ class OperatorSpec extends SparkSpec {
       (4L, "epsilon", 1L)))
   }
 
+  test("applyMinhashIncremental drops history near-dups and batch twins, keeps fresh docs") {
+    val history = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val ledger = Dedup.minhashLedgerOf(history, "doc_id", "text", w = 3)
+    val batch = Seq(
+      (10L, "a b c d e f g h"),                      // dup of history → dropped
+      (11L, "z y x w v u t s"),                      // twin pair: min id kept
+      (12L, "z y x w v u t s"),
+      (13L, "p q r fully unrelated tokens here")     // fresh → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyMinhashIncremental(batch, "doc_id", "text",
+      ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L, 13L))
+    // empty ledger: only batch-internal dedup applies
+    val noHist = Dedup.applyMinhashIncremental(batch, "doc_id", "text",
+      Dedup.minhashLedgerOf(history.limit(0), "doc_id", "text", w = 3),
+      w = 3, numHashes = 16, bands = 8, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noHist === Set(10L, 11L, 13L))
+  }
+
   test("MinHash estimate-verify scores the same candidates within the k=16 error bound") {
     val docs = Tables(spark, sf, "documents")
     def run(v: MinHashVerify) = Dedup.minhashLshPairs(docs, "doc_id", "text",
