@@ -574,6 +574,150 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q7 shape: bidirectional nation-pair volume shipping — the
+    // OR'd pair condition applies AFTER broadcast dim joins, per-year
+    // revenue in one map-side-combined agg
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sk"))
+        .join(n2, col("c_nationkey") === col("ck"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape: national market share — a CASE'd ratio of two
+    // decimal-exact sums per year (deterministic double division)
+    "q_tpch_q8" -> ((s, dir) => {
+      val asiaN = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck")))
+      val suppN = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(asiaN, col("c_nationkey") === col("ck"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(suppN, col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          Exact.dsum(when(col("supp_nation") === "NATION_1", vol).otherwise(0)) /
+            Exact.dsum(vol), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q10 shape: returned-item reporting — revenue lost to
+    // returns per customer, top 20
+    "q_tpch_q10" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape: orders-per-customer distribution — left join so
+    // zero-order customers count, then a histogram of the counts
+    "q_tpch_q13" -> ((s, dir) => {
+      val counts = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 shape: promotion revenue share — 100·Σ(case)/Σ, both
+    // sums decimal-exact so the ratio is engine-deterministic
+    "q_tpch_q14" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100) *
+          Exact.dsum(when(col("p_type") === "PROMO", disc).otherwise(0)) /
+          Exact.dsum(disc), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape: top supplier — scalar-subquery max over a
+    // revenue aggregate, equality on decimal-exact doubles is safe
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mr"))),
+          col("total_revenue") === col("mr"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), round(col("total_revenue"), 6).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate (brand ×
+    // size-band × quantity-band OR'd three ways) over a broadcast part
+    // join — the OR-pushdown / CNF-conversion showcase
+    "q_tpch_q19" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers with no orders,
+    // per nation — the scalar threshold is a 1-ROW broadcast (a
+    // BroadcastNestedLoopJoin with a single build row ≡ a broadcast
+    // scalar: O(N·1), whitelisted as bounded-by-design in PlanSpec;
+    // a constant-key equi-join folds to the same plan)
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(Exact.davg(col("c_acctbal")).as("ab"))
+      cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          Exact.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Ranking-function pack: dense_rank / percent_rank / cume_dist / ntile
     "q_w_ranks" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1730,6 +1874,109 @@ object SparkEntry {
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount BETWEEN 0.05 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ROUND(
+         |    ${dsumSql("CASE WHEN n1.n_name = 'NATION_1' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |    / ${dsumSql("l_extendedprice * (1 - l_discount)")}, 6) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+         |  AND CAST(year(o_orderdate) AS INT) IN (1996, 1997)
+         |GROUP BY year(o_orderdate)
+         |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q13" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM counts GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT ROUND(100 *
+         |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |  / ${dsumSql("l_extendedprice * (1 - l_discount)")}, 6) AS promo_revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q22" ->
+      s"""WITH ab AS (
+         |  SELECT ${Exact.sqlAvg("c_acctbal")} AS ab
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+         |  ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer, ab
+         |WHERE c_acctbal > ab.ab
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_w_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

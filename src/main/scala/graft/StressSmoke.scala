@@ -64,8 +64,9 @@ object StressSmoke {
     "q_select_budget", "q_dedup_lines", "q_quality_gate",
     "q_densify", "q_stream_join", "q_f_json", "q_scd2",
     // relational / window / TPC-H families (replicated star schema)
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q17",
-    "q_tpch_q18", "q_j2_nearest", "q_o1_topk", "q_profile",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_j2_nearest", "q_o1_topk", "q_profile",
     "q_mad_outliers", "q_w1_interp", "q_w3_knn_impute")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's

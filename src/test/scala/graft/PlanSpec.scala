@@ -148,8 +148,10 @@ class PlanSpec extends SparkSpec {
     // q_sim_ivf's nested-loop is NOT all-pairs: it is the coarse
     // quantizer assigning vectors to the constant nCells-row centroid
     // table (bounded 16× fan-out, O(N·nCells)); the candidate join
-    // itself is an equi-join on the cell id
-    val boundedBroadcastByDesign = Set("q_sim_ivf")
+    // itself is an equi-join on the cell id.
+    // q_tpch_q22's nested-loop is a ONE-row broadcast (the scalar
+    // avg-balance threshold): O(N·1) — a broadcast scalar, not a join
+    val boundedBroadcastByDesign = Set("q_sim_ivf", "q_tpch_q22")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)
