@@ -822,16 +822,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // Dedup 3c: incremental near-dup — new docs (id ≥ 250) deduped
+    // Dedup 3c: incremental near-dup — new docs (id 250–499) deduped
     // against the persisted MinHash signature ledger of history
     // (id < 250), then batch-internally (cluster-apply, min-id reps);
-    // history text is never rescanned, only its 16-long signatures
+    // history text is never rescanned, only its 16-long signatures.
+    // Sliced to the same 500-doc window as the rest of the det-minhash
+    // family (the interpreted parity folds price full verification)
     "q_dedup_minhash_inc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ledger = Dedup.minhashLedgerOf(
         docs.filter(col("doc_id") < 250), "doc_id", "text", w = 3)
       Dedup.applyMinhashIncremental(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 500), "doc_id", "text",
         ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -2175,7 +2177,8 @@ object SparkEntry {
         .map(i => s"(CASE WHEN $l.s$i = $r.s$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE doc_id < 500),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS s
         |  FROM (SELECT doc_id, w, unnest(range(len(w)-2)) AS i
@@ -2195,14 +2198,15 @@ object SparkEntry {
         |candh AS (
         |  SELECT DISTINCT n.doc_id AS a, h.doc_id AS b
         |  FROM bands n JOIN bands h ON n.band = h.band AND n.key = h.key
-        |  WHERE n.doc_id >= 250 AND h.doc_id < 250),
+        |  WHERE n.doc_id >= 250 AND n.doc_id < 500 AND h.doc_id < 250),
         |duph AS (
         |  SELECT DISTINCT c.a FROM candh c
         |  JOIN sig x ON x.doc_id = c.a JOIN sig y ON y.doc_id = c.b
         |  WHERE CAST(${agree("x", "y")} AS DOUBLE) / 16 >= 0.05),
         |fresh AS (
         |  SELECT doc_id FROM documents
-        |  WHERE doc_id >= 250 AND doc_id NOT IN (SELECT a FROM duph)),
+        |  WHERE doc_id >= 250 AND doc_id < 500
+        |    AND doc_id NOT IN (SELECT a FROM duph)),
         |cands AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
