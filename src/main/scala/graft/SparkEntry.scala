@@ -444,6 +444,21 @@ object SparkEntry {
         .orderBy("user_id", "l_event", "r_event")
     }),
 
+    // Snapshot diff (CDC without a change log): two deterministic
+    // snapshots of orders — %7 keys deleted, %5 keys late-arriving,
+    // %3 prices drifted — reconciled into added/removed/changed
+    "q_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select("o_orderkey", "o_totalprice")
+      val newSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Relational.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // Anti-join: customers with no orders
     "q_j_anti" -> ((s, dir) => {
       Relational.antiJoin(t(s, dir, "customer"),
@@ -1721,6 +1736,26 @@ object SparkEntry {
          |SELECT c.user_id, c.day, a.n, a.v
          |FROM cal c LEFT JOIN a ON c.user_id = a.user_id AND c.day = a.day
          |ORDER BY c.user_id, c.day""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0),
+        |newsnap AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_totalprice AS old_o_totalprice, n.o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |    END AS change_type
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, o_orderkey, old_o_totalprice, o_totalprice
+        |FROM j WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_scd2" ->
       s"""WITH e AS ($eventsPrepSql),

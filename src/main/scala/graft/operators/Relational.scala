@@ -83,4 +83,37 @@ object Relational {
         coalesce(col(k1), lit("ALL")).as(k1),
         coalesce(col(k2), lit("ALL")).as(k2),
         col("n"), col("m"))
+
+  /** Snapshot diff (CDC without a change log): classify every key of
+    * two same-schema table snapshots as `added` / `removed` /
+    * `changed`, dropping unchanged keys — the reconciliation pass a
+    * daily full re-extract pipeline (the reference's replace-mode
+    * loads) runs to detect what actually moved. Output carries the key
+    * columns, the old values as `old_<col>`, and the new values.
+    *
+    * One full-outer shuffle join on the key; value comparison is
+    * null-safe per column (a value going null IS a change). Keys must
+    * be unique per snapshot (pre-aggregate otherwise) and null keys
+    * follow SQL join semantics — a null-keyed row never matches, so it
+    * shows up as one `removed` + one `added`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val valueCols = newDf.columns.toSeq.filterNot(keyCols.contains)
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "snapshots must share a schema")
+    val o = valueCols.foldLeft(oldDf)((d, c) => d.withColumnRenamed(c, "old_" + c))
+      .withColumn("_in_old", lit(true))
+    val n = newDf.withColumn("_in_new", lit(true))
+    val someChange = valueCols
+      .map(c => not(col(c) <=> col("old_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(someChange, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: keyCols.map(col) ++:
+        valueCols.map(c => col("old_" + c)) ++: valueCols.map(col): _*)
+  }
 }

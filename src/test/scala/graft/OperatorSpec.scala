@@ -731,6 +731,24 @@ class OperatorSpec extends SparkSpec {
     assert(noHist === Set(10L, 11L, 13L))
   }
 
+  test("Relational.snapshotDiff: added/removed/changed classes, null-safe value compare") {
+    val oldSnap = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
+      (4L, None: Option[Double])).toDF("k", "v")
+    val newSnap = Seq((2L, Some(20.0)),          // unchanged → absent from diff
+      (3L, Some(31.0)),                          // changed
+      (4L, Some(40.0)),                          // null → value IS a change
+      (5L, Some(50.0))                           // added
+    ).toDF("k", "v")                             // key 1 removed
+    val got = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .select("change_type", "k", "old_v", "v")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSet
+    assert(got === Set(
+      ("removed", 1L, Some(10.0), None),
+      ("changed", 3L, Some(30.0), Some(31.0)),
+      ("changed", 4L, None, Some(40.0)),
+      ("added", 5L, None, Some(50.0))))
+  }
+
   test("MinHash estimate-verify scores the same candidates within the k=16 error bound") {
     val docs = Tables(spark, sf, "documents")
     def run(v: MinHashVerify) = Dedup.minhashLshPairs(docs, "doc_id", "text",

@@ -31,7 +31,12 @@ class PropertySpec extends SparkSpec {
     // fold orders are what buy this. Exercise the order-sensitive
     // queries under two very different initial shuffle widths.
     val names = Seq("q_a9_stats", "q_a7_ols", "q_j3_gravity",
-      "q_winsorize", "q_text_entropy", "q_profile")
+      "q_winsorize", "q_text_entropy", "q_profile",
+      // round-5 operators whose determinism claim matters at scale:
+      // median/MAD fences, window run-collapse, corpus line dedup,
+      // IEEE-exact classifier logits, CDC classification
+      "q_mad_outliers", "q_scd2", "q_dedup_lines", "q_quality_gate",
+      "q_snapshot_diff")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def run(name: String, parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
