@@ -1024,6 +1024,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Flagship 2: RAG ingestion pipeline in ONE plan — clean → overlap
+    // chunking (200/150) → corpus-wide exact chunk dedup (boilerplate
+    // chunks collide across docs; min-chunk_id wins) → per-source
+    // packing of the surviving chunks into 1000-char batches
+    "q_pipeline_rag" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Text.clean(col("text")).as("ctext"))
+      val chunks = Text.chunk(docs, "doc_id", "ctext", size = 200, stride = 150)
+        .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+        .withColumn("n_chars", length(col("chunk")))
+      val deduped = Dedup.applyExact(chunks, "chunk_id", "chunk")
+      Text.packSequences(deduped, "chunk_id", "n_chars", budget = 1000,
+        shardCol = "source")
+        .select(col("chunk_id"), col("source"), col("n_chars"),
+          md5(col("chunk")).as("chunk_fp"), col("pack_id"))
+        .orderBy("chunk_id")
+    }),
+
     // Text 1b: pretraining text cleaning (NFC + case/control/whitespace
     // normalization) — full oracle via DuckDB nfc_normalize
     "q_text_clean" -> ((s, dir) => {
@@ -2575,6 +2593,37 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, clean_text, md5(clean_text) AS fp
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // composition of the q_text_clean, q_text_chunk, q_dedup_apply and
+    // q_text_pack oracle fragments — stage-for-stage mirror of the
+    // Spark plan
+    "q_pipeline_rag" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[ \t\n\f\r]+', ' ', 'g'), '[[:cntrl:]]', '', 'g')) AS ctext
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, ctext,
+        |    unnest(range(CASE WHEN length(ctext) <= 200 THEN 1
+        |      ELSE CAST(ceil((length(ctext) - 200) / 150.0) AS BIGINT) + 1 END)) AS i
+        |  FROM docs),
+        |ch AS (
+        |  SELECT doc_id * 1000 + i AS chunk_id, source,
+        |    substring(ctext, CAST(i * 150 + 1 AS INT), 200) AS chunk
+        |  FROM c),
+        |win AS (
+        |  SELECT MIN(chunk_id) AS keep FROM ch GROUP BY md5(lower(trim(chunk)))),
+        |ded AS (SELECT * FROM ch WHERE chunk_id IN (SELECT keep FROM win)),
+        |p AS (
+        |  SELECT chunk_id, source, CAST(length(chunk) AS INT) AS n_chars,
+        |    md5(chunk) AS chunk_fp,
+        |    COALESCE(SUM(length(chunk)) OVER (PARTITION BY source ORDER BY chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM ded)
+        |SELECT chunk_id, source, n_chars, chunk_fp,
+        |  CAST(prefix // 1000 AS BIGINT) AS pack_id
+        |FROM p ORDER BY chunk_id""".stripMargin,
 
     // composition of the q_text_clean, q_dedup_apply and q_text_pack
     // oracle fragments — stage-for-stage mirror of the Spark plan

@@ -60,7 +60,7 @@ object StressSmoke {
     "q_mm_resize", "q_split", "q_split_stratified", "q_sim_ann", "q_sim_ivf",
     "q_dedup_bloom", "q_dedup_incremental", "q_decontaminate", "q_text_chunk",
     "q_text_repetition", "q_text_redact", "q_text_entropy", "q_text_tfidf",
-    "q_pipeline_pretrain", "q_sample_byrate", "q_sample_mixture",
+    "q_pipeline_pretrain", "q_pipeline_rag", "q_sample_byrate", "q_sample_mixture",
     "q_select_budget", "q_dedup_lines", "q_quality_gate",
     "q_densify", "q_stream_join", "q_f_json", "q_scd2",
     // relational / window / TPC-H families (replicated star schema)
