@@ -444,6 +444,33 @@ object SparkEntry {
         .orderBy("user_id", "l_event", "r_event")
     }),
 
+    // Interval×interval overlap join: 30-min purchase windows meeting
+    // 60-min view windows of the same user — bucketed equi-join with
+    // arithmetic first-shared-bucket pair dedup (never a nested loop)
+    "q_interval_join" -> ((s, dir) => {
+      val e = eventsPrep(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event"),
+          col("s").as("ps"), (col("s") + 1800).as("pe"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_event"),
+          col("s").as("vs"), (col("s") + 3600).as("ve"))
+      Temporal.intervalOverlapJoin(p, v, Seq("user_id"),
+        "ps", "pe", "vs", "ve", bucketWidth = 1800)
+        .select("user_id", "p_event", "v_event")
+        .orderBy("user_id", "p_event", "v_event")
+    }),
+
+    // Sampling: deterministic exactly-100-per-returnflag sample —
+    // hash-ranked row_number, engine/partitioning-stable membership
+    "q_sample_exactn" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("lid", col("l_orderkey") * 10 + col("l_linenumber"))
+      Sampling.exactNPerGroup(li, Seq("l_returnflag"), "lid", n = 100)
+        .select("l_returnflag", "lid")
+        .orderBy("l_returnflag", "lid")
+    }),
+
     // Snapshot diff (CDC without a change log): two deterministic
     // snapshots of orders — %7 keys deleted, %5 keys late-arriving,
     // %3 prices drifted — reconciled into added/removed/changed
@@ -1754,6 +1781,31 @@ object SparkEntry {
          |SELECT c.user_id, c.day, a.n, a.v
          |FROM cal c LEFT JOIN a ON c.user_id = a.user_id AND c.day = a.day
          |ORDER BY c.user_id, c.day""".stripMargin,
+
+    // plain non-equi overlap SQL — proves the bucketed equi-join +
+    // first-shared-bucket dedup is exactly the overlap semantics
+    "q_interval_join" ->
+      s"""WITH e AS ($eventsPrepSql),
+         |p AS (SELECT user_id, event_id AS p_event, s AS ps, s + 1800 AS pe
+         |      FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, event_id AS v_event, s AS vs, s + 3600 AS ve
+         |      FROM e WHERE event_type = 'view')
+         |SELECT p.user_id, p_event, v_event
+         |FROM p JOIN v ON p.user_id = v.user_id
+         |  AND p.ps < v.ve AND v.vs < p.pe
+         |ORDER BY p.user_id, p_event, v_event""".stripMargin,
+
+    "q_sample_exactn" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS lid
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, lid,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY (lid * 2654435761) % 1000000007, lid) AS rk
+        |  FROM l)
+        |SELECT l_returnflag, lid FROM r WHERE rk <= 100
+        |ORDER BY l_returnflag, lid""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH oldsnap AS (

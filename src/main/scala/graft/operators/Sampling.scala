@@ -31,6 +31,26 @@ object Sampling {
     df.withColumn("split",
       splitColumn(pmod(xxhash64(col(idCol), lit(salt)), lit(100)).cast("int"), cuts))
 
+  /** Deterministic exactly-n-per-group sample: rank each group's rows
+    * by a transparent multiplicative hash of the id (Knuth's constant,
+    * SQL-reproducible; the id itself tie-breaks) and keep the first
+    * `n` — the fixed-size counterpart of rate-based sampling (eval-set
+    * carving, per-source inspection samples, k-shot selection).
+    * Engine/partitioning-stable membership like the other samplers.
+    * One shuffle on the group key; groups smaller than `n` are kept
+    * whole. The rank column is dropped — the sample is a plain subset
+    * of the input rows. */
+  def exactNPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1000000007L)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (0..999999, a pure function of the id) falls under the stratum's
     * rate — downsample over-represented strata (the classic

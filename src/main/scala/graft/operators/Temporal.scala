@@ -76,6 +76,37 @@ object Temporal {
       .drop("_bk")
   }
 
+  /** Interval×interval OVERLAP join: every left interval
+    * `[lStart, lEnd)` meets the right intervals `[rStart, rEnd)` it
+    * overlaps, within equal `keyCols` — the other classic non-equi
+    * join (meetings×meetings, sessions×outages) whose naive predicate
+    * plans as a BroadcastNestedLoopJoin. Same bucketing idea as
+    * [[rangeJoin]], with one extra wrinkle: BOTH sides explode to
+    * covered buckets, so an overlapping pair meets in every shared
+    * bucket — instead of a distinct pass, the pair is emitted only at
+    * its FIRST shared bucket, `bucket(max(lStart, rStart))` (floor is
+    * monotone, so that's `greatest` of the two start buckets — pure
+    * arithmetic, no dedup shuffle). Empty intervals match nothing;
+    * times are epoch-second longs. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    def buckets(s: String, e: String) = sequence(
+      floor(col(s) / bucketWidth).cast("long"),
+      floor((col(e) - 1) / bucketWidth).cast("long"))
+    val lb = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_bk", explode(buckets(lStart, lEnd)))
+    val rb = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_bk", explode(buckets(rStart, rEnd)))
+    lb.join(rb, keyCols :+ "_bk")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("_bk") === greatest(
+        floor(col(lStart) / bucketWidth).cast("long"),
+        floor(col(rStart) / bucketWidth).cast("long")))
+      .drop("_bk")
+  }
+
   /** SCD-2 (slowly-changing-dimension type 2) build: collapse a change
     * log into validity intervals — one row per run of unchanged
     * `stateCols` per key, carrying `valid_from` (the run's first

@@ -731,6 +731,42 @@ class OperatorSpec extends SparkSpec {
     assert(noHist === Set(10L, 11L, 13L))
   }
 
+  test("intervalOverlapJoin equals the naive overlap predicate with each pair met once") {
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 40).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s"k${i % 3}", s, s + 1 + rnd.nextInt(400)) }
+      .toDF("lid", "k", "ls", "le")
+    val right = (1 to 30).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s"k${i % 3}", s, s + 1 + rnd.nextInt(400)) }
+      .toDF("rid", "k", "rs", "re")
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val bucketed = Temporal.intervalOverlapJoin(left, right, Seq("k"),
+      "ls", "le", "rs", "re", bucketWidth = 100)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(bucketed.sorted === naive.sorted)               // same pairs…
+    assert(bucketed.distinct.size === bucketed.size)       // …each exactly once
+    assert(naive.nonEmpty)
+  }
+
+  test("Sampling.exactNPerGroup: exact sizes, plain subset, partitioning-stable membership") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong * 17)).toDF("g", "id")
+    val got = Sampling.exactNPerGroup(df, Seq("g"), "id", n = 50)
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(50L))
+    // subset of the input, no synthetic columns
+    assert(got.columns.toSeq === Seq("g", "id"))
+    assert(got.except(df).count() === 0)
+    // same membership under a different initial partitioning
+    val again = Sampling.exactNPerGroup(df.repartition(13), Seq("g"), "id", n = 50)
+    assert(again.select("id").as[Long].collect().toSet ===
+      got.select("id").as[Long].collect().toSet)
+    // groups smaller than n are kept whole
+    val tiny = Sampling.exactNPerGroup(df.limit(10), Seq("g"), "id", n = 50)
+    assert(tiny.count() === 10)
+  }
+
   test("Relational.snapshotDiff: added/removed/changed classes, null-safe value compare") {
     val oldSnap = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(30.0)),
       (4L, None: Option[Double])).toDF("k", "v")
