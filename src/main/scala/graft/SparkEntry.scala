@@ -444,6 +444,20 @@ object SparkEntry {
         .orderBy("user_id", "l_event", "r_event")
     }),
 
+    // Forward as-of: the NEXT purchase at-or-after each click per user
+    // (time-to-conversion attribution) — mirror of q_asof_join
+    "q_asof_fwd" -> ((s, dir) => {
+      val e = eventsPrep(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "s")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "s").agg(max(col("value")).as("pvalue"))
+      Temporal.asOfJoinForward(clicks, purchases, "user_id", "s", "s", Seq("pvalue"))
+        .select(col("event_id"), col("user_id"), col("s"),
+          col("_match._rt").as("purchase_s"), col("_match.pvalue").as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Interval×interval overlap join: 30-min purchase windows meeting
     // 60-min view windows of the same user — bucketed equi-join with
     // arithmetic first-shared-bucket pair dedup (never a nested loop)
@@ -1781,6 +1795,16 @@ object SparkEntry {
          |SELECT c.user_id, c.day, a.n, a.v
          |FROM cal c LEFT JOIN a ON c.user_id = a.user_id AND c.day = a.day
          |ORDER BY c.user_id, c.day""".stripMargin,
+
+    "q_asof_fwd" ->
+      s"""WITH e AS ($eventsPrepSql),
+         |c AS (SELECT event_id, user_id, s FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, s, MAX(value) AS pvalue FROM e
+         |      WHERE event_type = 'purchase' GROUP BY user_id, s)
+         |SELECT c.event_id, c.user_id, c.s,
+         |  p.s AS purchase_s, p.pvalue AS purchase_value
+         |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.s <= p.s
+         |ORDER BY c.event_id""".stripMargin,
 
     // plain non-equi overlap SQL — proves the bucketed equi-join +
     // first-shared-bucket dedup is exactly the overlap semantics

@@ -63,6 +63,7 @@ object StressSmoke {
     "q_pipeline_pretrain", "q_pipeline_rag", "q_sample_byrate", "q_sample_mixture",
     "q_select_budget", "q_dedup_lines", "q_quality_gate",
     "q_densify", "q_stream_join", "q_f_json", "q_scd2",
+    "q_interval_join", "q_sample_exactn", "q_asof_fwd", "q_snapshot_diff",
     // relational / window / TPC-H families (replicated star schema)
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",

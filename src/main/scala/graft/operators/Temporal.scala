@@ -76,6 +76,33 @@ object Temporal {
       .drop("_bk")
   }
 
+  /** Forward (next-event) as-of join: for every left row, the EARLIEST
+    * right row with `rightTime ≥ leftTime` in the same key group — the
+    * mirror of [[asOfJoin]] (time-to-next-purchase, next-maintenance-
+    * window attribution). Same union+window trick, mirrored: left rows
+    * sort before right rows at equal timestamps and the frame runs
+    * from the current row forward, so the match is inclusive (≥). One
+    * shuffle on the key, linear scan per group. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(key),
+      col(rightTime).cast("long").as("_t"),
+      struct(col(rightTime).as("_rt") +: rightPayload.map(col): _*).as("_rp"))
+      .withColumn("_side", lit(1))
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("_match", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0 && col("_match").isNotNull)
+      .select(left.columns.map(col) :+ col("_match"): _*)
+  }
+
   /** Interval×interval OVERLAP join: every left interval
     * `[lStart, lEnd)` meets the right intervals `[rStart, rEnd)` it
     * overlaps, within equal `keyCols` — the other classic non-equi
