@@ -1407,6 +1407,25 @@ object SparkEntry {
   private def dsumSql(e: String) = Exact.sqlSum(e)
   private def davgSql(e: String) = Exact.sqlAvg(e)
 
+  /** Shared DuckDB fragments for the det-MinHash oracles — the affine
+    * signature constants and band layout are the parity contract with
+    * `Dedup.sigsFromShingled`/`detBands`; ONE generator keeps the
+    * three minhash oracles (pairs / estimate / incremental) from
+    * drifting apart. */
+  private def minhashSigMinsSql(numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
+    }.mkString(",\n|    ")
+
+  private def minhashBandSelectsSql(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    (0 until bands).map { j =>
+      val cols = (0 until r).map(k => s"CAST(s${j * r + k} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $j AS band, $cols AS key FROM sig"
+    }.mkString("\n|  UNION ALL ")
+  }
+
   /** Shared shingle-index CTE chain for the Jaccard-dedup oracles —
     * mirrors `Dedup.shingleIndex` exactly: docs with <3 tokens produce
     * no shingles, and shingles in more than 100 docs (stop-shingles)
@@ -1826,7 +1845,7 @@ object SparkEntry {
         |r AS (
         |  SELECT l_returnflag, lid,
         |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY (lid * 2654435761) % 1000000007, lid) AS rk
+        |      ORDER BY ((lid % 1000000007) * 2654435761) % 1000000007, lid) AS rk
         |  FROM l)
         |SELECT l_returnflag, lid FROM r WHERE rk <= 100
         |ORDER BY l_returnflag, lid""".stripMargin,
@@ -2247,13 +2266,8 @@ object SparkEntry {
     // MIN list and band UNION are generated from the same (aᵢ, bᵢ)
     // constants as the Scala side.
     "q_dedup_minhash" -> {
-      val sigMins = (0 until 16).map { i =>
-        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
-      }.mkString(",\n|    ")
-      val bandSelects = (0 until 8).map { j =>
-        val (x, y) = (j * 2, j * 2 + 1)
-        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
-      }.mkString("\n|  UNION ALL ")
+      val sigMins = minhashSigMinsSql(16)
+      val bandSelects = minhashBandSelectsSql(16, 8)
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
         |sh AS (
@@ -2295,13 +2309,8 @@ object SparkEntry {
     // history = id < 250, batch = id ≥ 250; estimate-verified history
     // dedup, then batch-internal clustering via the recursive CTE
     "q_dedup_minhash_inc" -> {
-      val sigMins = (0 until 16).map { i =>
-        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
-      }.mkString(",\n|    ")
-      val bandSelects = (0 until 8).map { j =>
-        val (x, y) = (j * 2, j * 2 + 1)
-        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
-      }.mkString("\n|  UNION ALL ")
+      val sigMins = minhashSigMinsSql(16)
+      val bandSelects = minhashBandSelectsSql(16, 8)
       def agree(l: String, r: String) = (0 until 16)
         .map(i => s"(CASE WHEN $l.s$i = $r.s$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
@@ -2362,13 +2371,8 @@ object SparkEntry {
     // same signature/band CTEs as q_dedup_minhash; verification is the
     // signature-agreement fraction instead of the exact shingle Jaccard
     "q_dedup_minhash_est" -> {
-      val sigMins = (0 until 16).map { i =>
-        s"MIN((f * ${1L + 7919L * i} + ${12345L + 104729L * i}) % 2147483647) AS s$i"
-      }.mkString(",\n|    ")
-      val bandSelects = (0 until 8).map { j =>
-        val (x, y) = (j * 2, j * 2 + 1)
-        s"SELECT doc_id, $j AS band, CAST(s$x AS VARCHAR) || '_' || CAST(s$y AS VARCHAR) AS key FROM sig"
-      }.mkString("\n|  UNION ALL ")
+      val sigMins = minhashSigMinsSql(16)
+      val bandSelects = minhashBandSelectsSql(16, 8)
       val agree = (0 until 16)
         .map(i => s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)")
         .mkString(" + ")

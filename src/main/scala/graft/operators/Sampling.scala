@@ -39,13 +39,17 @@ object Sampling {
     * Engine/partitioning-stable membership like the other samplers.
     * One shuffle on the group key; groups smaller than `n` are kept
     * whole. The rank column is dropped — the sample is a plain subset
-    * of the input rows. */
+    * of the input rows. The id is reduced mod p BEFORE the multiply
+    * ((id mod p)·c ≡ id·c mod p), so the product stays < 2^63 for any
+    * long id — ANSI-safe with no overflow cliff at id ≈ 3.5e9. */
   def exactNPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                      n: Int): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
+    val p = 1000000007L
+    val rank = pmod(pmod(col(idCol), lit(p)) * lit(2654435761L), lit(p))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(1000000007L)), col(idCol))
+      .orderBy(rank, col(idCol))
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
       .drop("_rk")

@@ -79,10 +79,14 @@ object Temporal {
   /** Forward (next-event) as-of join: for every left row, the EARLIEST
     * right row with `rightTime ≥ leftTime` in the same key group — the
     * mirror of [[asOfJoin]] (time-to-next-purchase, next-maintenance-
-    * window attribution). Same union+window trick, mirrored: left rows
-    * sort before right rows at equal timestamps and the frame runs
-    * from the current row forward, so the match is inclusive (≥). One
-    * shuffle on the key, linear scan per group. */
+    * window attribution). Same union+window trick, mirrored in the
+    * ORDER, not the frame: time descends and the frame GROWS from the
+    * partition start (Spark evaluates growing frames incrementally —
+    * one aggregate update per row — while a shrinking
+    * `current..unboundedFollowing` frame is recomputed per row,
+    * O(n²) on a hot key). Right rows sort before left rows at equal
+    * timestamps under the descending tie-break, so the match is
+    * inclusive (≥). One shuffle on the key, linear scan per group. */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
                       leftTime: String, rightTime: String,
                       rightPayload: Seq[String]): DataFrame = {
@@ -95,10 +99,11 @@ object Temporal {
       .withColumn("_t", col(leftTime).cast("long"))
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn("_match", first(col("_rp"), ignoreNulls = true).over(w))
+      .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0 && col("_match").isNotNull)
       .select(left.columns.map(col) :+ col("_match"): _*)
   }

@@ -25,7 +25,12 @@ object StreamingOps {
 
   /** Nanos-long → timestamp column. */
   def tsCol(c: String = "ts") =
-    timestamp_micros((col(c) / 1000L).cast("long")).as("event_time")
+    // `div`, not `/`: the `/` operator is IEEE double division, and
+    // epoch nanos exceed 2^53 — the cast-back can land 1 µs off the
+    // true (ns div 1000), which breaks µs-exact oracle comparisons
+    // (q_stream_join) and could flip an event sitting exactly on a
+    // window boundary
+    timestamp_micros(expr(s"$c div 1000")).as("event_time")
 
   /** Tumbling-window counts+sums per event_type with a watermark for
     * late data. Works on a batch OR streaming DataFrame. */

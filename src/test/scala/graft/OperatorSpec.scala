@@ -765,6 +765,11 @@ class OperatorSpec extends SparkSpec {
     // groups smaller than n are kept whole
     val tiny = Sampling.exactNPerGroup(df.limit(10), Seq("g"), "id", n = 50)
     assert(tiny.count() === 10)
+    // ids past 2^63/2654435761 ≈ 3.5e9: the mod-before-multiply rank
+    // must not overflow (the naive id·c form throws under ANSI here)
+    val huge = Seq(("g", 4000000000L), ("g", 4000000017L), ("g", 9000000000L))
+      .toDF("g", "id")
+    assert(Sampling.exactNPerGroup(huge, Seq("g"), "id", n = 2).count() === 2)
   }
 
   test("Relational.snapshotDiff: added/removed/changed classes, null-safe value compare") {
