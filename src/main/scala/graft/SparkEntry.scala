@@ -774,6 +774,196 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q2 shape: min-cost supplier — the correlated scalar MIN
+    // subquery ("cost = (SELECT min(cost) … same part, same region)"),
+    // expressed as the per-part min aggregate + equi-join Catalyst's
+    // decorrelation would produce. partsupp is absent from this star
+    // schema, so the supply relation is derived: per (part, supplier)
+    // the minimum observed unit price. MIN (unlike SUM) is
+    // summation-order independent, so the double equality join against
+    // the per-part minimum is exact cross-engine.
+    "q_tpch_q2" -> ((s, dir) => {
+      val rsup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+      val supply = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+        .join(rsup, col("l_suppkey") === col("s_suppkey"))
+      val minCost = supply.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost")).as("min_cost"))
+      supply
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+          .select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .join(minCost, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), round(col("cost"), 6).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape: correlated EXISTS — orders in a quarter with at
+    // least one "late" lineitem (shipped >30 days after the order
+    // date; commit/receipt dates are absent from this schema). The
+    // EXISTS decorrelates to a left-semi hash join on the order key
+    // with the lateness predicate riding as an extra join condition —
+    // no nested loop, fact side shuffles once on o_orderkey.
+    "q_tpch_q4" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("lk"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(li, col("o_orderkey") === col("lk") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q9 shape: product-type profit — LIKE-filtered part dim,
+    // 5-way join, profit per nation-year. supplycost is proxied by 10%
+    // of the part's retail price (partsupp is absent); the profit
+    // expression mirrors the oracle term-for-term so the decimal
+    // accumulation sees identical per-row doubles.
+    "q_tpch_q9" -> ((s, dir) => {
+      val redParts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice"))
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      t(s, dir, "lineitem")
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Exact.dsum(amount).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: HAVING against a global scalar — per-part value
+    // (from one nation's suppliers) kept only when above a fixed
+    // fraction of the global total. The scalar is a 1-row broadcast
+    // (same bounded-by-design BNLJ as q_tpch_q22, whitelisted in
+    // PlanSpec); both comparands are decimal-exact sums so the
+    // threshold comparison is engine-deterministic.
+    "q_tpch_q11" -> ((s, dir) => {
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val filtered = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      filtered.groupBy("l_partkey")
+        .agg(Exact.dsum(col("l_extendedprice")).as("value"))
+        .join(broadcast(
+          filtered.agg((Exact.dsum(col("l_extendedprice")) * lit(0.0001)).as("thr"))),
+          col("value") > col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape: CASE'd conditional aggregation — per
+    // return-flag ("ship mode" proxy; shipmode/commit/receipt are
+    // absent), count high- vs low-priority orders among one year's
+    // shipments. Both counts ride one map-side-combined hash agg.
+    "q_tpch_q12" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape: null-aware NOT IN subquery + distinct count —
+    // supplier variety per part attribute, excluding "complaint"
+    // suppliers (negative balance — comment columns are absent).
+    // Routed through SQL so Catalyst plans the genuine null-aware
+    // anti-join (single-key NOT IN → BroadcastHashJoin LeftAnti NAAJ,
+    // PlanSpec-asserted), not a pre-simplified plain anti.
+    "q_tpch_q16" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g16_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("g16_part")
+      t(s, dir, "supplier").createOrReplaceTempView("g16_supplier")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM g16_lineitem JOIN g16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM g16_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
+    // TPC-H Q20 shape: nested semi-join chain — suppliers (in one
+    // nation) who shipped a meaningful volume of 'red' parts in 1996:
+    // the part-LIKE dim semi-joins into the lineitem aggregate, whose
+    // qualifying (part, supplier) pairs semi-join into supplier.
+    // availqty is absent, so "meaningful" is the shipped-qty threshold
+    // itself. Each hop is an equi semi-join; nothing rescans.
+    "q_tpch_q20" -> ((s, dir) => {
+      val redKeys = t(s, dir, "part").filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val bigPairs = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(redKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(Exact.dsum(col("l_quantity")).as("q"))
+        .filter(col("q") > 30)
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(bigPairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS — suppliers who
+    // were the sole late shipper on a finished order (late = shipped
+    // >60 days after the order date). Both subqueries decorrelate to
+    // equi-joins on the order key — semi for "another supplier
+    // exists", anti for "no other supplier was late" — with the
+    // supplier inequality as a join condition: hash joins, never a
+    // BNLJ (PlanSpec asserts).
+    "q_tpch_q21" -> ((s, dir) => {
+      val ordF = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+      late
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2")),
+          col("k2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3")),
+          col("k3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // Ranking-function pack: dense_rank / percent_rank / cume_dist / ntile
     "q_w_ranks" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -2127,6 +2317,125 @@ object SparkEntry {
          |WHERE c_acctbal > ab.ab
          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  ROUND(cost, 6) AS cost
+        |FROM part
+        |JOIN supply ON p_partkey = l_partkey
+        |JOIN rs ON l_suppkey = s_suppkey
+        |WHERE p_size <= 10 AND p_type = 'LARGE'
+        |  AND cost = (SELECT MIN(s2.cost) FROM supply s2
+        |              JOIN rs r2 ON s2.l_suppkey = r2.s_suppkey
+        |              WHERE s2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE 'red%'
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      s"""WITH f AS (
+         |  SELECT l_partkey, l_extendedprice
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3')
+         |SELECT l_partkey, ${dsumSql("l_extendedprice")} AS value
+         |FROM f GROUP BY l_partkey
+         |HAVING ${dsumSql("l_extendedprice")} >
+         |  (SELECT ${dsumSql("l_extendedprice")} * 0.0001 FROM f)
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH big AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 30)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM big)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q_w_ranks" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

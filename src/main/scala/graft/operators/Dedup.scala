@@ -412,6 +412,16 @@ object Dedup {
                               ledger: DataFrame, w: Int, numHashes: Int,
                               bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // A ledger persisted with fewer hashes would die later in detBands
+    // with an opaque unresolved-column error; one persisted with MORE
+    // would silently band/score over a signature prefix, changing
+    // candidate recall vs. the parameters it was built with. Fail here,
+    // by name.
+    val expectedCols = ("doc" +: (0 until numHashes).map("s" + _)).toSet
+    require(ledger.columns.toSet == expectedCols,
+      s"ledger signature arity mismatch: expected columns doc, s0..s${numHashes - 1} " +
+        s"(numHashes=$numHashes), got [${ledger.columns.sorted.mkString(", ")}] — " +
+        "rebuild the ledger or pass the numHashes it was persisted with")
     val newSigs = minhashLedgerOf(newDocs, idCol, textCol, w, numHashes)
     val nb = detBands(newSigs, numHashes, bands)
     val hb = detBands(ledger, numHashes, bands)

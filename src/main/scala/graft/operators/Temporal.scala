@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** Inner as-of join. `right` should be unique per (key, rightTime) —
-    * pre-aggregate otherwise (ties at identical timestamps are
-    * engine-arbitrary). Returns left columns + `_match` struct with
-    * field `_rt` (matched right time) and `rightPayload` fields. */
+    * pre-aggregate otherwise; when duplicates do occur, the tie
+    * resolves deterministically to the GREATEST payload struct
+    * (field-wise comparison, `_rt` first), not to whichever row the
+    * shuffle happened to deliver last — the payload struct itself is
+    * the final window order key. Returns left columns + `_match`
+    * struct with field `_rt` (matched right time) and `rightPayload`
+    * fields. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightPayload: Seq[String]): DataFrame = {
@@ -39,7 +43,11 @@ object Temporal {
       .withColumn("_t", col(leftTime).cast("long"))
       .withColumn("_side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
+    // `_rp` as the final order key makes `last` deterministic when
+    // right rows tie on (key, rightTime): the greatest payload wins
+    // regardless of partition delivery order (left rows all carry a
+    // null `_rp` and tie only with each other, where order is moot)
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"), col("_rp"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
@@ -99,8 +107,10 @@ object Temporal {
       .withColumn("_t", col(leftTime).cast("long"))
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // same deterministic tie-break as [[asOfJoin]]: ties on
+    // (key, rightTime) resolve to the greatest payload struct
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t").desc, col("_side").desc)
+      .orderBy(col("_t").desc, col("_side").desc, col("_rp"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
       .withColumn("_match", last(col("_rp"), ignoreNulls = true).over(w))
@@ -183,11 +193,29 @@ object Temporal {
     * — nothing is ever quadratic. Group keys join back null-safely
     * (`<=>`), the [[graft.operators.Profile]] `joinBounds` contract:
     * a null-keyed series must densify, not vanish. Rows with a null
-    * time are excluded (no tick to anchor). */
+    * time are excluded (no tick to anchor).
+    *
+    * `strict = true` turns the off-grid failure mode loud: any row
+    * whose time is not on the group's `min + k·step` grid raises a
+    * distributed error (assert_true in a filter — not a prunable
+    * projection) instead of silently vanishing from the output. Off
+    * by default because pre-floored inputs are the documented
+    * contract; turn it on when the caller can't prove that. */
   def densify(df: DataFrame, groupCols: Seq[String], timeCol: String,
-              step: Long = 1L): DataFrame = {
+              step: Long = 1L, strict: Boolean = false): DataFrame = {
     require(step > 0, s"need step > 0, got $step")
-    val spans = df.groupBy(groupCols.map(col): _*)
+    val checked = if (!strict) df else {
+      val wg = Window.partitionBy(groupCols.map(col): _*)
+      df.withColumn("_lo0", min(col(timeCol)).over(wg))
+        .filter(assert_true(
+          col(timeCol).isNull || pmod(col(timeCol) - col("_lo0"), lit(step)) === 0,
+          concat(lit(s"densify(strict): off-grid $timeCol "),
+            col(timeCol).cast("string"),
+            lit(s" (group min "), col("_lo0").cast("string"),
+            lit(s", step $step) would be silently dropped"))).isNull)
+        .drop("_lo0")
+    }
+    val spans = checked.groupBy(groupCols.map(col): _*)
       .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
     val cal = spans
       .filter(col("_lo").isNotNull)

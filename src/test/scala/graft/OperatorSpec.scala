@@ -731,6 +731,47 @@ class OperatorSpec extends SparkSpec {
     assert(noHist === Set(10L, 11L, 13L))
   }
 
+  test("applyMinhashIncremental rejects a ledger with mismatched signature arity") {
+    val history = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch = Seq((10L, "z y x w v u t s")).toDF("doc_id", "text")
+    val ledger8 = Dedup.minhashLedgerOf(history, "doc_id", "text", w = 3, numHashes = 8)
+    // fewer hashes than requested → would die in detBands unresolved;
+    // more hashes → would silently band over a prefix. Both must fail
+    // loudly at the door instead.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.applyMinhashIncremental(batch, "doc_id", "text",
+        ledger8, w = 3, numHashes = 16, bands = 8, threshold = 0.9)
+    }
+    assert(e.getMessage.contains("arity mismatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.applyMinhashIncremental(batch, "doc_id", "text",
+        Dedup.minhashLedgerOf(history, "doc_id", "text", w = 3, numHashes = 16),
+        w = 3, numHashes = 8, bands = 4, threshold = 0.9)
+    }
+    assert(e2.getMessage.contains("arity mismatch"), e2.getMessage)
+  }
+
+  test("as-of joins resolve right-side timestamp ties deterministically (greatest payload)") {
+    // three right rows share (u1, t=100) — the window order must not
+    // depend on partition delivery order, so both input orders (and a
+    // repartition shuffle) must pick the same winner: the greatest
+    // payload struct
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 150L)).toDF("event_id", "user_id", "s")
+    val dup = Seq(("u1", 100L, 10.0), ("u1", 100L, 30.0), ("u1", 100L, 20.0))
+    def run(rows: Seq[(String, Long, Double)], fwd: Boolean) = {
+      val right = rows.toDF("user_id", "s", "pvalue").repartition(3)
+      val f = if (fwd) Temporal.asOfJoinForward _ else Temporal.asOfJoin _
+      f(left, right, "user_id", "s", "s", Seq("pvalue"))
+        .select(col("event_id"), col("_match.pvalue")).as[(Long, Double)]
+        .collect().toSet
+    }
+    assert(run(dup, fwd = false) === Set((1L, 30.0), (2L, 30.0)))
+    assert(run(dup.reverse, fwd = false) === Set((1L, 30.0), (2L, 30.0)))
+    // forward: left@100 matches the t=100 group (inclusive ≥), left@150 has no later right
+    assert(run(dup, fwd = true) === Set((1L, 30.0)))
+    assert(run(dup.reverse, fwd = true) === Set((1L, 30.0)))
+  }
+
   test("intervalOverlapJoin equals the naive overlap predicate with each pair met once") {
     val rnd = new scala.util.Random(99)
     val left = (1 to 40).map { i =>
@@ -848,6 +889,24 @@ class OperatorSpec extends SparkSpec {
       Seq("g"), "t", step = 10L)
     assert(wide.count() === 3)
     assert(wide.filter(col("v").isNull).count() === 1)
+  }
+
+  test("Temporal.densify strict mode fails loudly on off-grid rows instead of dropping them") {
+    // t=15 is off the 0+k·10 grid: default mode silently loses its
+    // value (the documented quiet-data-loss mode), strict raises
+    val offGrid = Seq(("a", 0L, 1.0), ("a", 15L, 9.0), ("a", 20L, 2.0)).toDF("g", "t", "v")
+    val lenient = Temporal.densify(offGrid, Seq("g"), "t", step = 10L)
+    assert(lenient.filter(col("v") === 9.0).count() === 0)
+    val e = intercept[Exception] {
+      Temporal.densify(offGrid, Seq("g"), "t", step = 10L, strict = true).collect()
+    }
+    assert(e.getMessage.contains("off-grid") ||
+      Option(e.getCause).exists(_.getMessage.contains("off-grid")), e.toString)
+    // on-grid input: strict output is identical to the default
+    val onGrid = Seq(("a", 0L, 1.0), ("a", 20L, 2.0)).toDF("g", "t", "v")
+    assert(Temporal.densify(onGrid, Seq("g"), "t", step = 10L, strict = true)
+      .collect().toSet ===
+      Temporal.densify(onGrid, Seq("g"), "t", step = 10L).collect().toSet)
   }
 
   test("Text.qualityLogit: logit equals the hand-built linear score; gate is monotone") {

@@ -149,9 +149,10 @@ class PlanSpec extends SparkSpec {
     // quantizer assigning vectors to the constant nCells-row centroid
     // table (bounded 16× fan-out, O(N·nCells)); the candidate join
     // itself is an equi-join on the cell id.
-    // q_tpch_q22's nested-loop is a ONE-row broadcast (the scalar
-    // avg-balance threshold): O(N·1) — a broadcast scalar, not a join
-    val boundedBroadcastByDesign = Set("q_sim_ivf", "q_tpch_q22")
+    // q_tpch_q22's / q_tpch_q11's nested-loop is a ONE-row broadcast
+    // (the scalar avg-balance / total-value threshold): O(N·1) — a
+    // broadcast scalar, not a join
+    val boundedBroadcastByDesign = Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)
@@ -166,6 +167,30 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin"), s"$name no longer cross-joins — drop it from the whitelist")
     }
+  }
+
+  test("Q21: EXISTS/NOT-EXISTS decorrelate to hash semi/anti joins, not BNLJ") {
+    // the correlated "another supplier on the same order" EXISTS and
+    // the "no other late supplier" NOT EXISTS must plan as equi
+    // semi/anti joins on the order key (supplier inequality riding as
+    // a join condition) — a BroadcastNestedLoopJoin here would be
+    // O(late × lineitem) and die at 100 TB
+    val plan = physicalPlan("q_tpch_q21")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("Q16: NOT IN subquery plans as a null-aware anti join (NAAJ), not BNLJ") {
+    // single-key NOT IN → BroadcastHashJoin LeftAnti with the
+    // null-aware flag (spark.sql.optimizeNullAwareAntiJoin); the
+    // unoptimized fallback is a BroadcastNestedLoopJoin with an
+    // OR-isnull condition that never hash-partitions
+    val plan = physicalPlan("q_tpch_q16")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the trailing `true` on the BHJ line is isNullAwareAntiJoin
+    assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
   }
 
   test("profile approxDistinct shuffles no distinct values (HLL sketch merge only)") {
