@@ -55,6 +55,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), Exact.dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // S10/DPP: day-partitioned events + runtime-pruned day slice. The
+    // partitioned copy is written ONCE per source dir
+    // (Tables.eventsByDay) — the query measures the READ side: joining
+    // a disk-resident filtered day dim on the partition column must
+    // prune the scan to the matching day directories via dynamic
+    // partition pruning (ScaleOpsSpec asserts the dynamicpruning
+    // subquery; q_dpp_fullscan runs the identical aggregate over the
+    // flat table so the pruning win is a measured bench delta, not an
+    // assertion). Same oracle as the flat table: the partitioned copy
+    // holds exactly the source rows.
+    "q_dpp_dayslice" -> ((s, dir) => {
+      val (factsPath, daysPath) = Tables.eventsByDay(s, dir)
+      val facts = s.read.parquet(factsPath)
+      val dim = s.read.parquet(daysPath).filter(pmod(col("day"), lit(7)) === 3)
+      facts.join(dim, "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // The un-partitioned control: same slice aggregate, but `day` is
+    // derived from ts at read time so the predicate cannot prune —
+    // every byte of events is scanned. Bench delta vs q_dpp_dayslice
+    // = the partition-pruning win.
+    "q_dpp_fullscan" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000000000) div 86400"))
+        .filter(pmod(col("day"), lit(7)) === 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // P1+P2: conjunctive filter (eq ∧ range ∧ IN) + projection
     "q_p2_filter_project" -> ((s, dir) => {
       Relational.filterProject(t(s, dir, "lineitem"),
@@ -656,7 +689,13 @@ object SparkEntry {
     }),
 
     // TPC-H Q8 shape: national market share — a CASE'd ratio of two
-    // decimal-exact sums per year (deterministic double division)
+    // decimal-exact sums per year (deterministic double division).
+    // Scale shape: customer GROWS with the corpus (unlike the true
+    // dims), so it joins by shuffle on c_custkey — an early broadcast
+    // hint here made the driver build a corpus-sized hash relation and
+    // drove the 10× stress ratio to ~5-6 (r5 watch-list item). The
+    // orders filter is a literal date RANGE (not year(..) ∈ …) so it
+    // pushes down to the parquet scan.
     "q_tpch_q8" -> ((s, dir) => {
       val asiaN = broadcast(t(s, dir, "nation")
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
@@ -665,14 +704,18 @@ object SparkEntry {
       val suppN = broadcast(t(s, dir, "nation")
         .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
       val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // ASIA customers only (1/5) before the fact-side shuffle join
+      val custAsia = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(asiaN, col("c_nationkey") === col("ck"))
+        .select("c_custkey")
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders")
-          .filter(year(col("o_orderdate")).isin(1996, 1997)),
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(asiaN, col("c_nationkey") === col("ck"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(suppN, col("s_nationkey") === col("sk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -1663,6 +1706,23 @@ object SparkEntry {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem""".stripMargin,
 
+    // both DPP queries aggregate the identical day slice — the
+    // partitioned copy holds exactly the source rows, so one SQL
+    // serves as the oracle for the pruned AND the full-scan plan
+    "q_dpp_dayslice" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7) = 3
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dpp_fullscan" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7) = 3
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_p2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem
@@ -2246,7 +2306,8 @@ object SparkEntry {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
          |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
-         |  AND CAST(year(o_orderdate) AS INT) IN (1996, 1997)
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY year(o_orderdate)
          |ORDER BY o_year""".stripMargin,
 

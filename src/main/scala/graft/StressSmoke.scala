@@ -68,7 +68,16 @@ object StressSmoke {
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q17", "q_tpch_q18", "q_j2_nearest", "q_o1_topk", "q_profile",
-    "q_mad_outliers", "q_w1_interp", "q_w3_knn_impute")
+    "q_mad_outliers", "q_w1_interp", "q_w3_knn_impute",
+    // round-6 additions: the decorrelation/NAAJ TPC-H shapes, the
+    // skew-mitigated join (lineitem partkeys get 10× hotter under
+    // replication — the exact load salting exists for), multi-level
+    // aggregates, session windows, percentiles, and the partition-
+    // pruned day slice vs its full-scan control
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_skew_join", "q_a8_percentiles", "q_session_window",
+    "q_gsets", "q_cube", "q_rollup", "q_dpp_dayslice", "q_dpp_fullscan")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -22,4 +22,28 @@ object Tables {
     * the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Day-partitioned copy of `events` (+ a `days` dim table), written
+    * once per source dir and cached on disk — the layout every 100 TB
+    * event store actually has, so partition-pruned scan performance can
+    * be MEASURED (q_dpp_dayslice in Bench), not just plan-asserted
+    * (ScaleOpsSpec). Returns (factsPath, daysPath). The partitioned
+    * copy holds exactly the source rows (plus a derived `day` column),
+    * so any query over it shares its oracle with the flat table. */
+  def eventsByDay(spark: SparkSession, sfDir: String): (String, String) = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_dpp_$key"
+    val facts = s"$base/events_by_day"
+    val days = s"$base/days"
+    if (!new java.io.File(s"$facts/_SUCCESS").exists()) {
+      // ts is a long of nanos (nanosAsLong); day = epoch seconds / 86400
+      val ev = apply(spark, sfDir, "events")
+        .withColumn("day", org.apache.spark.sql.functions.expr(
+          "(ts div 1000000000) div 86400"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(facts)
+      ev.select("day").distinct()
+        .write.mode("overwrite").parquet(days)
+    }
+    (facts, days)
+  }
 }

@@ -193,6 +193,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
   }
 
+  test("q_dpp_dayslice: the registered query's scan carries a dynamicpruning filter") {
+    // ScaleOpsSpec proves DPP works in this session config on ad-hoc
+    // tables; this pins the BENCHED query to that plan — a regression
+    // to a full scan would silently erase the measured pruning win
+    val plan = physicalPlan("q_dpp_dayslice")
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("profile approxDistinct shuffles no distinct values (HLL sketch merge only)") {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val li = Tables(spark, sf, "lineitem")
