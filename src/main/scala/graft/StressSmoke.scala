@@ -191,10 +191,16 @@ object StressSmoke {
     // ts is a long of nanos (parquet TIMESTAMP(NANOS) read under
     // nanosAsLong); +1000 days per replica so per-day KNN-impute groups
     // replicate instead of densifying (group size drives a by-design
-    // quadratic donor×null join within each day)
+    // quadratic donor×null join within each day). Above 10 replicas the
+    // total shift is clamped to ~10000 days: 1000·(reps-1) days of
+    // nanos would overflow Long at reps=100 (2024 epoch ≈ 1.7e18 ns +
+    // 8.6e18 shift > Long.MaxValue → ANSI abort); 10000/reps days per
+    // replica keeps replica day-groups disjoint (events span ~30 days)
+    // while the max ts stays ≈ 4.4e18.
+    val shiftDays = if (reps <= 10) 1000L else (10000L / reps).max(35L)
     replicate(spark, src, work, "events",
       Map("event_id" -> OFF, "user_id" -> OFF,
-        "ts" -> 86400L * 1000 * 1000000000L), reps)
+        "ts" -> 86400L * shiftDays * 1000000000L), reps)
     for (dim <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$src/$dim.parquet")
         .write.mode("overwrite").parquet(s"$work/$dim.parquet")
