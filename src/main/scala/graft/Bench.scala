@@ -20,10 +20,13 @@ object Bench {
     // poisons round-over-round comparison. name-sorted so run order (and who
     // inherits residual JIT warmup) is identical across rounds — artifacts
     // stay comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (median, ok) = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
-      (name, median, ok)
-    }
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val results = SparkEntry.queries.toSeq.filter(q => only(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
+        val (median, ok) = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
+        (name, median, ok)
+      }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

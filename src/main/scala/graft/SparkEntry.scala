@@ -68,7 +68,10 @@ object SparkEntry {
     "q_dpp_dayslice" -> ((s, dir) => {
       val (factsPath, daysPath) = Tables.eventsByDay(s, dir)
       val facts = s.read.parquet(factsPath)
-      val dim = s.read.parquet(daysPath).filter(pmod(col("day"), lit(7)) === 3)
+      // 1-day-in-30 slice: rare enough that the pruned scan touches ~3%
+      // of the partitions — the regime where DPP's fixed cost (dim
+      // subquery + broadcast) is actually bought back by bytes not read
+      val dim = s.read.parquet(daysPath).filter(pmod(col("day"), lit(30)) === 3)
       facts.join(dim, "day")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
@@ -82,7 +85,7 @@ object SparkEntry {
     "q_dpp_fullscan" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("day", expr("(ts div 1000000000) div 86400"))
-        .filter(pmod(col("day"), lit(7)) === 3)
+        .filter(pmod(col("day"), lit(30)) === 3)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
@@ -206,10 +209,12 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // A7: per-group OLS (closed-form, aggregate-only) predicting 2026
+    // A7: per-group OLS (closed-form, aggregate-only) predicting 2026.
+    // customer grows with the corpus — no hard broadcast hint; AQE
+    // picks broadcast at small SF and shuffle join once it outgrows it
     "q_a7_ols" -> ((s, dir) => {
       val joined = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
       Regression.olsPredict(joined, Seq("c_nationkey"), col("yr"), col("o_totalprice"), atX = 2026)
         .orderBy("c_nationkey")
@@ -566,7 +571,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
           col("o_orderpriority"))
         .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -586,7 +591,7 @@ object SparkEntry {
         .filter(year(col("o_orderdate")) === 1996).select("o_orderkey", "o_custkey")
       t(s, dir, "lineitem")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -621,7 +626,7 @@ object SparkEntry {
         .select(col("l_orderkey").as("o_orderkey"))
       t(s, dir, "orders")
         .join(big, Seq("o_orderkey"), "left_semi")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(Exact.dsum(col("l_quantity")).as("total_qty"))
@@ -675,7 +680,7 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("s_nationkey") === col("sk"))
         .join(n2, col("c_nationkey") === col("ck"))
@@ -733,7 +738,7 @@ object SparkEntry {
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -1713,14 +1718,14 @@ object SparkEntry {
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |  ${dsumSql("value")} AS sum_value
          |FROM events
-         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7) = 3
+         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 30) = 3
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_dpp_fullscan" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |  ${dsumSql("value")} AS sum_value
          |FROM events
-         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7) = 3
+         |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 30) = 3
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_p2_filter_project" ->

@@ -77,7 +77,11 @@ object StressSmoke {
     "q_tpch_q2", "q_tpch_q4", "q_tpch_q9", "q_tpch_q11", "q_tpch_q12",
     "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
     "q_skew_join", "q_a8_percentiles", "q_session_window",
-    "q_gsets", "q_cube", "q_rollup", "q_dpp_dayslice", "q_dpp_fullscan")
+    "q_gsets", "q_cube", "q_rollup", "q_dpp_dayslice", "q_dpp_fullscan",
+    // round-7 additions: the bench's heaviest query (incremental
+    // near-dup ledger), both as-of directions' heavier sibling, the
+    // bucketed range join, and the de-broadcast-hinted OLS join
+    "q_dedup_minhash_inc", "q_asof_join", "q_range_join", "q_a7_ols")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -123,6 +127,22 @@ object StressSmoke {
       graft.operators.Temporal.densify(daily, Seq("user_id"), "day")
         .orderBy("user_id", "day")
     }),
+    // the canonical slice (ledger = docs 0-249, batch = 250-499) is
+    // bounded for the oracle; the probe replicates THAT slice into
+    // every replica via pmod(doc_id, OFF) — at 1× it is byte-identical
+    // to the canonical query, at N× it is N independent copies of the
+    // same ledger+batch workload (the linear dimension a continuous-
+    // ingestion dedup scales on: more shards, not a bigger batch)
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val rid = pmod(col("doc_id"), lit(OFF))
+      val ledger = Dedup.minhashLedgerOf(
+        docs.filter(rid < 250), "doc_id", "text", w = 3)
+      Dedup.applyMinhashIncremental(
+        docs.filter(rid >= 250 && rid < 500), "doc_id", "text",
+        ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_scd2" -> ((s, dir) => {
       val e = Tables(s, dir, "events")
         .withColumn("s", expr("ts div 1000000000"))
@@ -151,9 +171,14 @@ object StressSmoke {
       .repartition(64).write.mode("overwrite").parquet(s"$work/$name.parquet")
   }
 
+  /** Per-replica key offset: replica k's ids live at `id + k*OFF`, so
+    * `pmod(id, OFF)` recovers the within-replica id — probe overrides
+    * use it to replicate a canonical fixed-id slice into EVERY replica
+    * (linear scaling of the same work) instead of leaving it 1×-sized. */
+  val OFF = 10000000L
+
   def generate(spark: SparkSession, src: String, work: String, reps: Int): Unit = {
     val k = explode(sequence(lit(0), lit(reps - 1))).as("k")
-    val OFF = 10000000L
     // replica 0 is the original corpus; replicas k>0 suffix EVERY token
     // with the replica id, so replicas share no shingles/tokens with
     // each other (cross-replica Jaccard ~ 0) while dup/near-dup
@@ -227,12 +252,24 @@ object StressSmoke {
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").toSet).getOrElse(stressQueries.toSet)
-    val results = stressQueries.filter(only).map { name =>
+    // a query that throws is recorded, not fatal: the JSON carries a
+    // "failed" array so downstream tooling (stress_merge.py) can reject
+    // a partial run without grepping logs — a crashed run's survivors
+    // must never min-merge into the round artifact as if they were clean
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = stressQueries.filter(only).flatMap { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
-      name -> Timing.medianNoopWrite(name, fn, spark, work, timingReps)._1
+      try Some(name -> Timing.medianNoopWrite(name, fn, spark, work, timingReps)._1)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"$name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+          None
+      }
     }
     val qs = results.map { case (n, v) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"${src}x$reps","shuffle_partitions":200}"""
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

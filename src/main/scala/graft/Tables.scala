@@ -31,8 +31,16 @@ object Tables {
     * copy holds exactly the source rows (plus a derived `day` column),
     * so any query over it shares its oracle with the flat table. */
   def eventsByDay(spark: SparkSession, sfDir: String): (String, String) = synchronized {
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_dpp_$key"
+    // cache key = source path + size + mtime fingerprint: a regenerated
+    // events.parquet (testdata rebuild, stress work dir recreated with a
+    // different replica count) gets a fresh partitioned copy instead of
+    // silently reusing a stale one, and distinct paths can't collide the
+    // way a lossy character-class sanitization could
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"${src.getAbsolutePath}|${src.length}|${src.lastModified}").toLong & 0xffffffffL)
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_dpp_$fp"
     val facts = s"$base/events_by_day"
     val days = s"$base/days"
     if (!new java.io.File(s"$facts/_SUCCESS").exists()) {
@@ -40,8 +48,13 @@ object Tables {
       val ev = apply(spark, sfDir, "events")
         .withColumn("day", org.apache.spark.sql.functions.expr(
           "(ts div 1000000000) div 86400"))
-      ev.write.partitionBy("day").mode("overwrite").parquet(facts)
-      ev.select("day").distinct()
+      // repartition on the partition column first: one file per day dir
+      // (not one per writer task per day), so the pruned scan's cost is
+      // proportional to days selected, not to writer parallelism
+      ev.repartition(org.apache.spark.sql.functions.col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(facts)
+      // the dim is ≤ a few hundred rows — one file, not 32 shuffle files
+      ev.select("day").distinct().coalesce(1)
         .write.mode("overwrite").parquet(days)
     }
     (facts, days)

@@ -142,9 +142,22 @@ object Dedup {
     val winners = bloomWinners(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = winners.stat.bloomFilter(idCol, expectedWinners, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightWin = udf((id: Long) => bc.value.mightContain(id))
-    docs.filter(mightWin(col(idCol))).join(winners, Seq(idCol), "left_semi")
+    // the filter rides as a binary literal into Spark's native
+    // BloomFilterMightContain (same codegen'd expression the runtime
+    // row-level bloom injection uses), so the big-side filter stays
+    // inside whole-stage codegen — a Scala udf here would deserialize
+    // every row of the corpus-sized side
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val mightWin = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col(idCol).cast("long"))))
+    docs.filter(mightWin).join(winners, Seq(idCol), "left_semi")
   }
 
   /** Release the winner-id cache [[applyExactBloom]] holds for `docs`

@@ -310,6 +310,42 @@ class PlanSpec extends SparkSpec {
     assert(row.getSeq[Any](0) === Seq(null, null, null, null))
   }
 
+  test("star-schema hard hints cover only fixed-size dims or ≤1-row aggregates") {
+    // the scale rule from the Q8 rewrite: customer/orders/lineitem (and
+    // the LLM-side corpora) grow with the corpus, so a hard broadcast
+    // hint on them would force-materialize a corpus-sized relation on
+    // every executor at 100×. Hints may only cover true dims
+    // (nation/region/supplier/part) or global-aggregate (≤1-row)
+    // subtrees; everything else is AQE's call.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Seq("customer", "orders", "lineitem", "events", "documents", "embeddings")
+    val names = SparkEntry.queries.keys
+      .filter(n => n.startsWith("q_tpch_") || n == "q_a7_ols" || n == "q_j1_join3")
+    assert(names.size >= 24)   // the full 22-shape suite + OLS + J1
+    for (name <- names.toSeq.sorted) {
+      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val globalAgg = h.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.isEmpty => a
+          }.isDefined
+          if (!globalAgg) {
+            val paths = h.child.collect {
+              case lr: LogicalRelation => lr.relation match {
+                case fs: HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString).mkString(",")
+                case other => other.toString
+              }
+            }
+            val bad = paths.filter(p => scaling.exists(tb => p.contains(s"/$tb")))
+            assert(bad.isEmpty, s"$name: hard hint covers corpus-scaling input(s): $bad")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("fused CosineSim equals the composed zip_with/aggregate form bit-for-bit") {
     import spark.implicits._
     val e = Tables(spark, sf, "embeddings").limit(200)

@@ -1,36 +1,78 @@
 #!/usr/bin/env python3
-"""Merge two StressSmoke runs (1x baseline + Nx replicas) into the
-round's BENCH_rNN_sf1.json artifact. Summary fields (totals, max_ratio)
-are COMPUTED from the per-query entries at write time, so the artifact
-can never contradict itself (the round-5 stale-max_ratio bug).
+"""Merge StressSmoke runs (1x baseline + Nx replicas) into the round's
+BENCH_rNN_sf1.json artifact. Summary fields (totals, max_ratio) are
+COMPUTED from the per-query entries at write time, so the artifact can
+never contradict itself (the round-5 stale-max_ratio bug).
+
+Both sides accept comma-separated run lists; per-query minimum across
+the surviving runs is the noise-floor estimator on this VM (documented
+up-to-10x run-to-run contention variance).
+
+Validation (the round-6 fabricated-artifact bug): a run whose JSON
+carries a non-empty "failed" array — a crashed or partial StressSmoke —
+is REJECTED whole, and any merged entry whose Nx time is implausibly
+below its 1x time (x10 < 0.5 * base) is dropped and recorded in the
+artifact's "dropped_entries", so a bogus near-zero timing can never
+min-merge into a self-consistent-looking sub-linear claim.
 
 Usage:
-    python3 tools/stress_merge.py <base.json> <x10.json> <out.json> \
-        [--replicas 10] [--note "..."] [--bench bench.json] [--merge-into existing.json]
-
-<base.json>/<x10.json> are SPARK_GRAFT_STRESS_OUT files ({"queries":
-{name: sec}}). --bench optionally attaches the round's local[32] bench
-time per query as bench32_sec. --merge-into starts from an existing
-artifact's queries (new entries override same-named old ones) so a
-subset re-run can extend the round's artifact.
+    python3 tools/stress_merge.py base1.json,base2.json x10a.json,x10b.json out.json \
+        [--replicas 10] [--note "..."] [--bench bench.json] \
+        [--merge-into existing.json] [--x100 x100.json --x100-replicas 100]
 """
 import argparse
 import json
+import sys
+
+
+def load_runs(spec, side):
+    """Load a comma-separated run list, rejecting crashed/partial runs."""
+    runs = []
+    for path in spec.split(","):
+        try:
+            run = json.load(open(path))
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"WARNING: {side} run {path} unreadable ({e}) — rejected",
+                  file=sys.stderr)
+            continue
+        failed = run.get("failed", [])
+        if failed:
+            print(f"WARNING: {side} run {path} has {len(failed)} failed "
+                  f"queries ({','.join(failed[:5])}…) — rejected whole",
+                  file=sys.stderr)
+            continue
+        runs.append(run["queries"])
+    if not runs:
+        raise SystemExit(f"no valid {side} runs among: {spec}")
+    return runs
+
+
+def min_merge(runs):
+    out = {}
+    for run in runs:
+        for name, sec in run.items():
+            out[name] = min(out.get(name, float("inf")), sec)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("base")
-    ap.add_argument("x10")
+    ap.add_argument("base", help="comma-separated 1x run JSONs")
+    ap.add_argument("x10", help="comma-separated Nx run JSONs")
     ap.add_argument("out")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--note", default="")
-    ap.add_argument("--bench", default=None)
-    ap.add_argument("--merge-into", default=None)
+    ap.add_argument("--bench", default=None,
+                    help="attach local[32] bench seconds as bench32_sec")
+    ap.add_argument("--merge-into", default=None,
+                    help="start from an existing artifact's queries")
+    ap.add_argument("--x100", default=None,
+                    help="spot-probe run JSON at a higher replica count")
+    ap.add_argument("--x100-replicas", type=int, default=100)
     args = ap.parse_args()
 
-    base = json.load(open(args.base))["queries"]
-    x10 = json.load(open(args.x10))["queries"]
+    base = min_merge(load_runs(args.base, "base"))
+    x10 = min_merge(load_runs(args.x10, f"x{args.replicas}"))
     bench = {}
     if args.bench:
         bench = json.load(open(args.bench))["queries"]
@@ -39,9 +81,19 @@ def main():
     if args.merge_into:
         queries = json.load(open(args.merge_into))["queries"]
 
+    dropped = {}
     for name in sorted(x10):
         if name not in base:
-            raise SystemExit(f"{name} present in x10 but not in base run")
+            raise SystemExit(f"{name} present in x{args.replicas} but not in base run")
+        # sanity gate: an Nx replication cannot plausibly run in under
+        # half the 1x time — such an entry is a crashed run's residue
+        if x10[name] < base[name] * 0.5:
+            print(f"WARNING: {name} x{args.replicas}={x10[name]:.3f}s < "
+                  f"0.5 * base={base[name]:.3f}s — implausible, dropped",
+                  file=sys.stderr)
+            dropped[name] = {"sf0.1_sec": round(base[name], 3),
+                             f"x{args.replicas}_sec": round(x10[name], 3)}
+            continue
         entry = {
             "sf0.1_sec": round(base[name], 3),
             f"x{args.replicas}_sec": round(x10[name], 3),
@@ -69,11 +121,31 @@ def main():
         )[1] if ratios else None,
         "queries": queries,
     }
+    if dropped:
+        artifact["dropped_entries"] = dropped
+    if args.x100:
+        x100 = min_merge(load_runs(args.x100, f"x{args.x100_replicas}"))
+        probes = {}
+        for name, sec in sorted(x100.items()):
+            if name not in base:
+                raise SystemExit(f"{name} in x100 probe but not in base run")
+            if sec < base[name] * 0.5:
+                print(f"WARNING: x100 probe {name}={sec:.3f}s implausible — dropped",
+                      file=sys.stderr)
+                continue
+            probes[name] = {
+                "sf0.1_sec": round(base[name], 3),
+                f"x{args.x100_replicas}_sec": round(sec, 3),
+                "ratio": round(sec / base[name], 1) if base[name] > 0 else None,
+                "linear_bound": args.x100_replicas,
+            }
+        artifact[f"x{args.x100_replicas}_probes"] = probes
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
     print(f"{args.out}: {len(queries)} queries, max_ratio "
-          f"{artifact['max_ratio']} ({artifact['max_ratio_query']})")
+          f"{artifact['max_ratio']} ({artifact['max_ratio_query']})"
+          + (f", {len(dropped)} dropped" if dropped else ""))
 
 
 if __name__ == "__main__":
