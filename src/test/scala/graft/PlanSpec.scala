@@ -187,10 +187,27 @@ class PlanSpec extends SparkSpec {
     // null-aware flag (spark.sql.optimizeNullAwareAntiJoin); the
     // unoptimized fallback is a BroadcastNestedLoopJoin with an
     // OR-isnull condition that never hash-partitions
-    val plan = physicalPlan("q_tpch_q16")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-    // the trailing `true` on the BHJ line is isNullAwareAntiJoin
-    assert(plan.contains("LeftAnti, BuildRight, true"), plan.take(2000))
+    val df = SparkEntry.queries("q_tpch_q16")(spark, sf)
+    df.collect()   // AQE finalizes this df's physical plan
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString.take(2000))
+    // inspect the operator flag itself, not its Spark-version-specific
+    // toString layout (the trailing-boolean formatting of
+    // isNullAwareAntiJoin has changed across releases). AQE wraps the
+    // tree in leaf nodes (AdaptiveSparkPlanExec, QueryStageExec) that
+    // collect() won't descend through — walk them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def allOps(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allOps(a.executedPlan)
+      case s: QueryStageExec => allOps(s.plan)
+      case other => other +: other.children.flatMap(allOps)
+    }
+    val naaj = allOps(plan).collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, s"no null-aware BroadcastHashJoin found:\n${plan.toString.take(2000)}")
   }
 
   test("q_dpp_dayslice: the registered query's scan carries a dynamicpruning filter") {

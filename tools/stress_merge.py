@@ -103,8 +103,18 @@ def main():
             entry["bench32_sec"] = round(bench[name], 3)
         queries[name] = entry
 
-    ratios = [v["ratio"] for v in queries.values() if v.get("ratio") is not None]
+    # --merge-into must not smuggle in entries measured at a different
+    # replica count (their x{N}_sec key wouldn't match): totals would
+    # silently cover only a subset while being labeled the round total
     xkey = f"x{args.replicas}_sec"
+    alien = {k: sorted(v) for k, v in queries.items()
+             if "sf0.1_sec" not in v or xkey not in v}
+    if alien:
+        raise SystemExit(
+            f"entries incompatible with --replicas {args.replicas} "
+            f"(need sf0.1_sec + {xkey}): {alien}")
+
+    ratios = [v["ratio"] for v in queries.values() if v.get("ratio") is not None]
     artifact = {
         "metric": f"stress_{args.replicas}x",
         "unit": "sec",
@@ -113,7 +123,7 @@ def main():
         "note": args.note,
         # summary fields derived from the entries they summarize —
         # never hand-written
-        "total_x10_sec": round(sum(v[xkey] for v in queries.values() if xkey in v), 1),
+        "total_x10_sec": round(sum(v[xkey] for v in queries.values()), 1),
         "total_sf01_sec": round(sum(v["sf0.1_sec"] for v in queries.values()), 1),
         "max_ratio": max(ratios) if ratios else None,
         "max_ratio_query": max(
