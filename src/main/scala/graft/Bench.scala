@@ -35,8 +35,15 @@ object Bench {
     // happy-path shape is unchanged round over round
     val failuresField =
       if (failures.isEmpty) "" else s""","failures":${failures.mkString("[", ",", "]")}"""
+    // a SPARK_GRAFT_BENCH_ONLY run is NOT the round's full bench: label it
+    // (metric + explicit query list) so a subset total can never be
+    // mistaken for a full-suite artifact downstream
+    val onlyField = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map { _ =>
+      only.toSeq.sorted.map(q => s"\"" + q + "\"").mkString(""","only":[""", ",", "]")
+    }.getOrElse("")
+    val metric = if (onlyField.isEmpty) "total" else "subset_total"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField$onlyField}"""
     println(json)
     // Also persist to a file: the driver captures sbt stdout with a tail
     // window, which has truncated the (large) JSON line before — the file is

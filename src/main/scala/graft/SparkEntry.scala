@@ -592,7 +592,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
@@ -610,7 +610,7 @@ object SparkEntry {
         .select("p_partkey")
       val avgQty = li.groupBy(col("l_partkey"))
         .agg(Exact.davg(col("l_quantity")).as("aq"))
-      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      li.join(parts, col("l_partkey") === col("p_partkey"))
         .join(avgQty, Seq("l_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("aq"))
         .agg(round(Exact.dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
@@ -681,7 +681,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(n1, col("s_nationkey") === col("sk"))
         .join(n2, col("c_nationkey") === col("ck"))
         .filter(
@@ -714,14 +714,14 @@ object SparkEntry {
         .join(asiaN, col("c_nationkey") === col("ck"))
         .select("c_custkey")
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")),
+        .join(t(s, dir, "part").filter(col("p_type") === "STANDARD"),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders")
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
         .join(custAsia, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(suppN, col("s_nationkey") === col("sk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(round(
@@ -765,7 +765,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100) *
           Exact.dsum(when(col("p_type") === "PROMO", disc).otherwise(0)) /
           Exact.dsum(disc), 6).as("promo_revenue"))
@@ -782,17 +782,18 @@ object SparkEntry {
           .as("total_revenue"))
       rev.join(broadcast(rev.agg(max(col("total_revenue")).as("mr"))),
           col("total_revenue") === col("mr"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), round(col("total_revenue"), 6).as("total_revenue"))
         .orderBy("s_suppkey")
     }),
 
     // TPC-H Q19 shape: disjunctive multi-attribute predicate (brand ×
-    // size-band × quantity-band OR'd three ways) over a broadcast part
-    // join — the OR-pushdown / CNF-conversion showcase
+    // size-band × quantity-band OR'd three ways) over a part join
+    // (AQE broadcasts it at safe sizes; part scales with SF, so no
+    // hard hint) — the OR-pushdown / CNF-conversion showcase
     "q_tpch_q19" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
             col("l_quantity").between(1, 11)) ||
@@ -831,11 +832,11 @@ object SparkEntry {
     // summation-order independent, so the double equality join against
     // the per-part minimum is exact cross-engine.
     "q_tpch_q2" -> ((s, dir) => {
-      val rsup = broadcast(t(s, dir, "supplier")
+      val rsup = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       val supply = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
@@ -843,9 +844,9 @@ object SparkEntry {
       val minCost = supply.groupBy(col("l_partkey").as("mk"))
         .agg(min(col("cost")).as("min_cost"))
       supply
-        .join(broadcast(t(s, dir, "part")
+        .join(t(s, dir, "part")
           .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
-          .select("p_partkey", "p_name")),
+          .select("p_partkey", "p_name"),
           col("l_partkey") === col("p_partkey"))
         .join(minCost, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
@@ -878,14 +879,14 @@ object SparkEntry {
     // expression mirrors the oracle term-for-term so the decimal
     // accumulation sees identical per-row doubles.
     "q_tpch_q9" -> ((s, dir) => {
-      val redParts = broadcast(t(s, dir, "part")
+      val redParts = t(s, dir, "part")
         .filter(col("p_name").like("red%"))
-        .select("p_partkey", "p_retailprice"))
+        .select("p_partkey", "p_retailprice")
       val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
         lit(0.1) * col("p_retailprice") * col("l_quantity")
       t(s, dir, "lineitem")
         .join(redParts, col("l_partkey") === col("p_partkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
@@ -901,10 +902,10 @@ object SparkEntry {
     // PlanSpec); both comparands are decimal-exact sums so the
     // threshold comparison is engine-deterministic.
     "q_tpch_q11" -> ((s, dir) => {
-      val natSupp = broadcast(t(s, dir, "supplier")
+      val natSupp = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey"))
+        .select("s_suppkey")
       val filtered = t(s, dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice")
         .join(natSupp, col("l_suppkey") === col("s_suppkey"))
@@ -969,7 +970,7 @@ object SparkEntry {
         .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(redKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(redKeys, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(Exact.dsum(col("l_quantity")).as("q"))
         .filter(col("q") > 30)
@@ -996,10 +997,10 @@ object SparkEntry {
       val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
-      val natSupp = broadcast(t(s, dir, "supplier")
+      val natSupp = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
           col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_name"))
+        .select("s_suppkey", "s_name")
       late
         .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2")),

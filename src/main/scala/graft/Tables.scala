@@ -31,19 +31,47 @@ object Tables {
     * copy holds exactly the source rows (plus a derived `day` column),
     * so any query over it shares its oracle with the flat table. */
   def eventsByDay(spark: SparkSession, sfDir: String): (String, String) = synchronized {
-    // cache key = source path + size + mtime fingerprint: a regenerated
-    // events.parquet (testdata rebuild, stress work dir recreated with a
-    // different replica count) gets a fresh partitioned copy instead of
-    // silently reusing a stale one, and distinct paths can't collide the
-    // way a lossy character-class sanitization could
+    // cache key = fingerprint of the LISTED DATA FILES (path|size|mtime
+    // per file), not the top-level directory entry: a Spark-written
+    // events.parquet is a directory whose entry metadata survives an
+    // in-place part-file rewrite, so a dir-inode fingerprint would
+    // silently serve a stale partitioned copy after a regeneration.
+    // Distinct paths can't collide the way a lossy character-class
+    // sanitization could.
     val src = new java.io.File(s"$sfDir/events.parquet")
+    def dataFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(dataFiles)
+      else Seq(f)
+    val sig = dataFiles(src)
+      .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}").mkString("\n")
     val fp = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        s"${src.getAbsolutePath}|${src.length}|${src.lastModified}").toLong & 0xffffffffL)
-    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_dpp_$fp"
+        s"${src.getAbsolutePath}\n$sig").toLong & 0xffffffffL)
+    val tmpDir = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val base = s"$tmpDir/graft_dpp_$fp"
     val facts = s"$base/events_by_day"
     val days = s"$base/days"
     if (!new java.io.File(s"$facts/_SUCCESS").exists()) {
+      // a fresh write supersedes every older cache of the SAME source
+      // (identified by the SOURCE marker each cache dir carries) —
+      // without this every legitimate rebuild strands a /tmp tree
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+        f.delete(); ()
+      }
+      Option(new java.io.File(tmpDir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.getName.startsWith("graft_dpp_") && d.getName != s"graft_dpp_$fp")
+        .filter { d =>
+          val m = new java.io.File(d, "SOURCE")
+          m.exists() && {
+            val s = scala.io.Source.fromFile(m)
+            try s.mkString.trim == src.getAbsolutePath finally s.close()
+          }
+        }
+        .foreach(rmTree)
       // ts is a long of nanos (nanosAsLong); day = epoch seconds / 86400
       val ev = apply(spark, sfDir, "events")
         .withColumn("day", org.apache.spark.sql.functions.expr(
@@ -56,6 +84,9 @@ object Tables {
       // the dim is ≤ a few hundred rows — one file, not 32 shuffle files
       ev.select("day").distinct().coalesce(1)
         .write.mode("overwrite").parquet(days)
+      // marker last: only a fully-written cache advertises its source
+      val w = new java.io.PrintWriter(new java.io.File(base, "SOURCE"))
+      try w.print(src.getAbsolutePath) finally w.close()
     }
     (facts, days)
   }

@@ -139,6 +139,18 @@ object Dedup {
   def applyExactBloom(docs: DataFrame, idCol: String, textCol: String,
                       expectedWinners: Long = 1000000L,
                       fpp: Double = 0.03): DataFrame = {
+    // the build side inserts the column's NATIVE representation
+    // (stat.bloomFilter hashes UTF8 bytes for strings) while the probe
+    // below casts to long — on a non-integral idCol that asymmetry
+    // yields false NEGATIVES that silently drop winner rows, breaking
+    // the byte-identical-to-applyExact contract. Fail loudly instead.
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = docs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"applyExactBloom: idCol '$idCol' must be an integral type " +
+          s"(build inserts native values, probe hashes longs); got ${dt.simpleString}")
+    }
     val winners = bloomWinners(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = winners.stat.bloomFilter(idCol, expectedWinners, fpp)

@@ -187,7 +187,14 @@ class PlanSpec extends SparkSpec {
     // null-aware flag (spark.sql.optimizeNullAwareAntiJoin); the
     // unoptimized fallback is a BroadcastNestedLoopJoin with an
     // OR-isnull condition that never hash-partitions
-    val df = SparkEntry.queries("q_tpch_q16")(spark, sf)
+    // sf0.01, not the suite default sf0.001: at sf0.001 zero of the 10
+    // suppliers have s_acctbal < 0, the NOT IN build side is empty, and
+    // AQE's empty-relation propagation deletes the anti join from the
+    // finalized plan entirely — the walk below would find nothing even
+    // though the plan is correct. sf0.01 has negative-balance suppliers,
+    // so the NAAJ survives into the executed plan.
+    val sfNaaj = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q_tpch_q16")(spark, sfNaaj)
     df.collect()   // AQE finalizes this df's physical plan
     val plan = df.queryExecution.executedPlan
     assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString.take(2000))
@@ -328,15 +335,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("star-schema hard hints cover only fixed-size dims or ≤1-row aggregates") {
-    // the scale rule from the Q8 rewrite: customer/orders/lineitem (and
-    // the LLM-side corpora) grow with the corpus, so a hard broadcast
-    // hint on them would force-materialize a corpus-sized relation on
-    // every executor at 100×. Hints may only cover true dims
-    // (nation/region/supplier/part) or global-aggregate (≤1-row)
-    // subtrees; everything else is AQE's call.
+    // the scale rule from the Q8 rewrite: every TPC-H table except
+    // nation (25 rows) and region (5 rows) grows linearly with SF —
+    // including part and supplier (at sf0.1 part is already larger
+    // than customer) — so a hard broadcast hint on any of them would
+    // force-materialize a corpus-sized relation on every executor at
+    // 100×. Hints may only cover the true fixed dims (nation/region,
+    // day dims, eval sets) or global-aggregate (≤1-row) subtrees;
+    // everything else is AQE's call — it broadcasts the same tables
+    // unhinted at every size where doing so is safe.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val scaling = Seq("customer", "orders", "lineitem", "events", "documents", "embeddings")
+    val scaling = Seq("customer", "orders", "lineitem", "part", "supplier",
+      "events", "documents", "embeddings")
     val names = SparkEntry.queries.keys
       .filter(n => n.startsWith("q_tpch_") || n == "q_a7_ols" || n == "q_j1_join3")
     assert(names.size >= 24)   // the full 22-shape suite + OLS + J1

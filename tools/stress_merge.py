@@ -22,11 +22,16 @@ Usage:
 """
 import argparse
 import json
+import re
 import sys
 
 
-def load_runs(spec, side):
-    """Load a comma-separated run list, rejecting crashed/partial runs."""
+def load_runs(spec, side, expected_replicas):
+    """Load a comma-separated run list, rejecting crashed/partial runs
+    and runs whose declared scale doesn't match the slot they're merged
+    into (StressSmoke labels every run "sf":"<src>xN"; a 10x file in the
+    base slot would inflate the baseline and silently deflate every
+    ratio, so a mislabel is a hard error, not a skip)."""
     runs = []
     for path in spec.split(","):
         try:
@@ -35,6 +40,13 @@ def load_runs(spec, side):
             print(f"WARNING: {side} run {path} unreadable ({e}) — rejected",
                   file=sys.stderr)
             continue
+        m = re.search(r"x(\d+)$", run.get("sf", ""))
+        declared = int(m.group(1)) if m else None
+        if declared != expected_replicas:
+            raise SystemExit(
+                f"{side} run {path} declares scale "
+                f"{run.get('sf', '<missing>')!r} (x{declared}) but this slot "
+                f"expects x{expected_replicas} — wrong file in the slot")
         failed = run.get("failed", [])
         if failed:
             print(f"WARNING: {side} run {path} has {len(failed)} failed "
@@ -71,8 +83,8 @@ def main():
     ap.add_argument("--x100-replicas", type=int, default=100)
     args = ap.parse_args()
 
-    base = min_merge(load_runs(args.base, "base"))
-    x10 = min_merge(load_runs(args.x10, f"x{args.replicas}"))
+    base = min_merge(load_runs(args.base, "base", 1))
+    x10 = min_merge(load_runs(args.x10, f"x{args.replicas}", args.replicas))
     bench = {}
     if args.bench:
         bench = json.load(open(args.bench))["queries"]
@@ -134,7 +146,7 @@ def main():
     if dropped:
         artifact["dropped_entries"] = dropped
     if args.x100:
-        x100 = min_merge(load_runs(args.x100, f"x{args.x100_replicas}"))
+        x100 = min_merge(load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
         probes = {}
         for name, sec in sorted(x100.items()):
             if name not in base:
