@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   * - AQE on: runtime re-planning (skew-join splitting, partition
   *   coalescing, broadcast-join demotion/promotion) is the main
   *   defence when the same plans run at 1000× the data.
-  * - `nanosAsLong`: the driver testdata's `events.ts` is parquet
-  *   TIMESTAMP(NANOS), which Spark's vectorized reader rejects by
-  *   default; this reads it as a long (nanos since epoch) that the
-  *   engine converts explicitly.
+  * - `nanosAsLong`: some driver testdata generations ship `events.ts`
+  *   as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  *   rejects by default; this reads it as a long (nanos since epoch).
+  *   Harmless for the timestamp[us] generation (reads as
+  *   TIMESTAMP/TIMESTAMP_NTZ as usual) — every ts consumer branches on
+  *   the resolved dtype via [[Tables.epochSeconds]]/[[Tables.eventTime]].
   */
 object GraftSession {
   def apply(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",

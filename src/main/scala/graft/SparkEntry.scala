@@ -31,13 +31,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
-  /** events with (a) ts as epoch seconds (ts arrives as long nanos —
-    * see GraftSession nanosAsLong note) and (b) a null-bearing value
-    * column `v` (value, nulled for 'error' events) so the gap-filling
-    * operators have real gaps to fill. */
+  /** events with (a) ts as epoch seconds (dtype-adaptive — ts has
+    * arrived as both long nanos and timestamp[us] across testdata
+    * generations; see [[Tables.epochSeconds]]) and (b) a null-bearing
+    * value column `v` (value, nulled for 'error' events) so the
+    * gap-filling operators have real gaps to fill. */
   private def eventsPrep(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("s", expr("ts div 1000000000"))
+    Tables.withEpochSeconds(t(spark, dir, "events"))
       .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
         .otherwise(col("value")))
 
@@ -83,8 +83,7 @@ object SparkEntry {
     // every byte of events is scanned. Bench delta vs q_dpp_dayslice
     // = the partition-pruning win.
     "q_dpp_fullscan" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("day", expr("(ts div 1000000000) div 86400"))
+      Tables.withEpochDay(t(s, dir, "events"))
         .filter(pmod(col("day"), lit(30)) === 3)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
@@ -1614,8 +1613,8 @@ object SparkEntry {
     "q_session_window" -> ((s, dir) => {
       // ts floored to whole seconds so the SQL oracle (integer-second
       // lag/cumsum sessionization) sees identical gaps
-      val ev = t(s, dir, "events")
-        .withColumn("ts", expr("(ts div 1000000000) * 1000000000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts", timestamp_seconds(Tables.epochSeconds(ev0)))
       StreamingOps.sessionWindowAgg(ev)
         .select(unix_timestamp(col("session_start")).as("session_start"),
           col("user_id"), col("n"), col("sum_value"))

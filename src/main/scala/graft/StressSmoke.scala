@@ -120,8 +120,7 @@ object StressSmoke {
     // 1×-sized, so the probe runs them over ALL users (replicated
     // user counts: the linear dimension these operators scale on)
     "q_densify" -> ((s, dir) => {
-      val daily = Tables(s, dir, "events")
-        .withColumn("day", expr("(ts div 1000000000) div 86400"))
+      val daily = Tables.withEpochDay(Tables(s, dir, "events"))
         .groupBy("user_id", "day")
         .agg(count(lit(1)).as("n"))
       graft.operators.Temporal.densify(daily, Seq("user_id"), "day")
@@ -144,8 +143,7 @@ object StressSmoke {
         .select("doc_id").orderBy("doc_id")
     }),
     "q_scd2" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-        .withColumn("s", expr("ts div 1000000000"))
+      val e = Tables.withEpochSeconds(Tables(s, dir, "events"))
         .select("user_id", "event_id", "event_type", "s")
       graft.operators.Temporal.scd2(e, Seq("user_id"), "s",
         Seq(col("event_id")), Seq("event_type"))
@@ -162,8 +160,15 @@ object StressSmoke {
     val k = explode(sequence(lit(0), lit(reps - 1))).as("k")
     val cols = df.columns.map { c =>
       keyOffsets.get(c) match {
-        case Some(off) =>
-          (col(c) + col("k").cast("long") * off).cast(df.schema(c).dataType).as(c)
+        case Some(off) => df.schema(c).dataType match {
+          // offsets for ts-typed columns are specified in NANOS (the
+          // long-generation contract); the timestamp[us] generation
+          // gets the same shift as a µs day-time interval
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            (col(c) + expr(s"INTERVAL '${off / 1000}' MICROSECOND") * col("k")).as(c)
+          case dt => (col(c) + col("k").cast("long") * off).cast(dt).as(c)
+        }
         case None => col(c)
       }
     }
@@ -213,8 +218,9 @@ object StressSmoke {
     replicate(spark, src, work, "orders",
       Map("o_orderkey" -> OFF, "o_custkey" -> OFF), reps)
     replicate(spark, src, work, "lineitem", Map("l_orderkey" -> OFF), reps)
-    // ts is a long of nanos (parquet TIMESTAMP(NANOS) read under
-    // nanosAsLong); +1000 days per replica so per-day KNN-impute groups
+    // ts offset stays specified in nanos regardless of the physical
+    // dtype (replicate converts to a µs interval for timestamp cols);
+    // +1000 days per replica so per-day KNN-impute groups
     // replicate instead of densifying (group size drives a by-design
     // quadratic donor×null join within each day). Above 10 replicas the
     // total shift is clamped to ~10000 days: 1000·(reps-1) days of

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Table loaders for the driver testdata layout (`TESTDATA.md`):
   * one parquet file per table under an `sfDir`.
@@ -22,6 +24,59 @@ object Tables {
     * the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ------------------------------------------------------- event time
+
+  // `events.ts` arrives in whichever physical type the testdata
+  // generator last used: parquet TIMESTAMP(NANOS) is only readable as
+  // a long of epoch nanos (`nanosAsLong` in GraftSession), while
+  // timestamp[us] reads as TIMESTAMP_NTZ (or TIMESTAMP when
+  // isAdjustedToUTC). Every ts consumer branches on the RESOLVED read
+  // schema through the helpers below, so a regeneration that flips the
+  // dtype can never break analysis again. The session timezone is
+  // pinned UTC (GraftSession), so NTZ wall-clock == the UTC instant
+  // and both timestamp flavors convert identically.
+
+  private def unsupported(c: String, dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"unsupported event-time dtype $dt for column `$c` — expected " +
+        "LONG (epoch nanos), TIMESTAMP or TIMESTAMP_NTZ")
+
+  /** Event time as epoch SECONDS (long, floored) — the unit the
+    * windowing/sessionization/impute operators work in. Matches the
+    * DuckDB oracle's `CAST(floor(epoch(ts)) AS BIGINT)` on every
+    * physical dtype. */
+  def epochSeconds(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      // `div` (integer division), not `/`: epoch nanos exceed 2^53, so
+      // IEEE double division can land one second off the true floor
+      case LongType         => expr(s"`$c` div 1000000000")
+      case TimestampType    => col(c).cast(LongType)
+      case TimestampNTZType => col(c).cast(TimestampType).cast(LongType)
+      case dt               => unsupported(c, dt)
+    }
+
+  /** Event time as a µs-precision TIMESTAMP — the type Structured
+    * Streaming watermarks/windows require. Exact on every dtype: nanos
+    * truncate via integer `div`, timestamp[us] passes through. */
+  def eventTime(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType         => timestamp_micros(expr(s"`$c` div 1000"))
+      case TimestampType    => col(c)
+      case TimestampNTZType => col(c).cast(TimestampType)
+      case dt               => unsupported(c, dt)
+    }
+
+  /** `df` plus an epoch-seconds column `out` derived from `c`. */
+  def withEpochSeconds(df: DataFrame, c: String = "ts", out: String = "s"): DataFrame =
+    df.withColumn(out, epochSeconds(df, c))
+
+  /** `df` plus an epoch-day column `out` (seconds div 86400, exact
+    * integer division) derived from `c`. */
+  def withEpochDay(df: DataFrame, c: String = "ts", out: String = "day"): DataFrame =
+    df.withColumn("__graft_epoch_s", epochSeconds(df, c))
+      .withColumn(out, expr("__graft_epoch_s div 86400"))
+      .drop("__graft_epoch_s")
 
   /** Day-partitioned copy of `events` (+ a `days` dim table), written
     * once per source dir and cached on disk — the layout every 100 TB
@@ -72,10 +127,8 @@ object Tables {
           }
         }
         .foreach(rmTree)
-      // ts is a long of nanos (nanosAsLong); day = epoch seconds / 86400
-      val ev = apply(spark, sfDir, "events")
-        .withColumn("day", org.apache.spark.sql.functions.expr(
-          "(ts div 1000000000) div 86400"))
+      // day = epoch seconds div 86400, dtype-adaptive (see eventTime note)
+      val ev = withEpochDay(apply(spark, sfDir, "events"))
       // repartition on the partition column first: one file per day dir
       // (not one per writer task per day), so the pruned scan's cost is
       // proportional to days selected, not to writer parallelism

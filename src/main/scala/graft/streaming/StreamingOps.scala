@@ -16,28 +16,32 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of the events table as a stream source (ts as long nanos —
-    * see nanosAsLong note in [[graft.GraftSession]]). */
+  /** Schema of the events table as a stream source under the
+    * TIMESTAMP(NANOS) testdata generation (ts as long nanos — see
+    * nanosAsLong note in [[graft.GraftSession]]). [[readEventStream]]
+    * no longer hard-codes it: it infers the schema from the files, so
+    * both the nanos-long and timestamp[us] generations stream. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Nanos-long → timestamp column. */
-  def tsCol(c: String = "ts") =
-    // `div`, not `/`: the `/` operator is IEEE double division, and
-    // epoch nanos exceed 2^53 — the cast-back can land 1 µs off the
-    // true (ns div 1000), which breaks µs-exact oracle comparisons
-    // (q_stream_join) and could flip an event sitting exactly on a
-    // window boundary
-    timestamp_micros(expr(s"$c div 1000")).as("event_time")
+  /** Event-time timestamp column, dtype-adaptive (nanos-long and
+    * timestamp[us] testdata generations both occur — see
+    * [[graft.Tables.eventTime]]). µs-exact on every dtype: the
+    * nanos-long branch uses integer `div`, not `/` (IEEE double
+    * division of epoch nanos > 2^53 can land 1 µs off, which breaks
+    * µs-exact oracle comparisons (q_stream_join) and could flip an
+    * event sitting exactly on a window boundary). */
+  def tsCol(df: DataFrame, c: String = "ts") =
+    graft.Tables.eventTime(df, c).as("event_time")
 
   /** Tumbling-window counts+sums per event_type with a watermark for
     * late data. Works on a batch OR streaming DataFrame. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
                   watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsCol())
+      .withColumn("event_time", tsCol(events))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -52,7 +56,7 @@ object StreamingOps {
   def slidingAgg(events: DataFrame, windowLen: String = "2 hours",
                  slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsCol())
+      .withColumn("event_time", tsCol(events))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -68,7 +72,7 @@ object StreamingOps {
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", tsCol())
+      .withColumn("event_time", tsCol(events))
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -94,12 +98,12 @@ object StreamingOps {
                        within: String = "1 hour",
                        watermark: String = "2 hours"): DataFrame = {
     val l = left
-      .withColumn("l_time", tsCol())
+      .withColumn("l_time", tsCol(left, "ts"))
       .withWatermark("l_time", watermark)
       .select(col("user_id"), col("event_id").as("l_event"),
         col("event_type").as("l_type"), col("l_time"))
     val r = right
-      .withColumn("r_time", tsCol())
+      .withColumn("r_time", tsCol(right, "ts"))
       .withWatermark("r_time", watermark)
       .select(col("user_id").as("_r_user"), col("event_id").as("r_event"),
         col("event_type").as("r_type"), col("r_time"))
@@ -112,9 +116,12 @@ object StreamingOps {
   }
 
   /** Read the events parquet as a (bounded) stream — used by tests to
-    * drive the streaming operators synchronously via the memory sink. */
+    * drive the streaming operators synchronously via the memory sink.
+    * Streaming sources need an explicit schema; it is inferred from
+    * the files present at start (one driver-side footer read), so the
+    * nanos-long and timestamp[us] testdata generations both work. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
 
   /** Stateful per-user session counting via `mapGroupsWithState`
     * (SURVEY §2.10: custom state beyond windowed aggs). State = (last
@@ -218,7 +225,7 @@ object StreamingOps {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events
-      .select(col("user_id").cast("long"), expr("ts div 1000000000").as("s"))
+      .select(col("user_id").cast("long"), graft.Tables.epochSeconds(events).as("s"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[SessionState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {

@@ -116,9 +116,11 @@ class ScaleOpsSpec extends SparkSpec {
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
         "l_shipdate")
       .write.parquet(s"$src/lineitem.parquet")
-    // ts mirrors the testdata's long-of-nanos shape (TIMESTAMP(NANOS)
-    // under nanosAsLong)
-    Seq((1L, 1704067200L * 1000000000L, 7L, "click", 1.0, "{}"))
+    // ts as a real timestamp — the timestamp[us] testdata generation's
+    // shape (the nanos-long shape is covered by the dtype-adaptivity
+    // test below); exercises replicate()'s interval-shift branch
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L)),
+      7L, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$src/events.parquet")
     Seq((1, "r1")).toDF("r_regionkey", "r_name").write.parquet(s"$src/region.parquet")
@@ -142,8 +144,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/supplier.parquet").count() === 1)
     // events: replicas land on disjoint days (KNN-impute groups
     // replicate instead of densifying)
-    val evW = spark.read.parquet(s"$work/events.parquet")
-      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    val evW = Tables.withEpochDay(spark.read.parquet(s"$work/events.parquet"))
     assert(evW.count() === 3)
     assert(evW.select("day").distinct().count() === 3)
     val docs = spark.read.parquet(s"$work/documents.parquet")
@@ -245,8 +246,7 @@ class ScaleOpsSpec extends SparkSpec {
     // runtime dynamicpruning subquery, not read all days.
     val base = java.nio.file.Files.createTempDirectory("graft_dpp_").toFile
     base.deleteOnExit()
-    val ev = Tables(spark, sf, "events")
-      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    val ev = Tables.withEpochDay(Tables(spark, sf, "events"))
     ev.write.partitionBy("day").mode("overwrite").parquet(s"$base/events_by_day")
     val facts = spark.read.parquet(s"$base/events_by_day")
     // dim table on disk (a filter on a literal one-day dim): stats make
@@ -406,5 +406,39 @@ class ScaleOpsSpec extends SparkSpec {
       expr("percentile(l_extendedprice, 0.5)").as("e"))
       .as[(Double, Double)].head()
     assert(math.abs(ap - ep) / ep <= 0.05, s"approx_percentile off: $ap vs $ep")
+  }
+
+  test("event-time helpers adapt to all three ts dtypes (nanos-long, timestamp, timestamp_ntz)") {
+    // the driver's testdata generator has shipped events.ts as parquet
+    // TIMESTAMP(NANOS) (reads as long nanos under nanosAsLong) and as
+    // timestamp[us] (reads as TIMESTAMP_NTZ); a regeneration mid-round
+    // once flipped the dtype under the engine. Pin the contract: every
+    // helper must produce identical values on all physical forms.
+    val secs = Seq(1704067200L, 1704070800L, 1704153600L) // spans 2 days
+    val base = java.nio.file.Files.createTempDirectory("graft_tsdtype_").toFile
+    base.deleteOnExit()
+    secs.zipWithIndex.map { case (sec, i) => (i.toLong, sec * 1000000000L + 123456789L) }
+      .toDF("event_id", "ts").write.parquet(s"$base/nanos")
+    secs.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec, 123456000L)))
+    }.toDF("event_id", "ts").write.parquet(s"$base/tstz")
+    secs.zipWithIndex.map { case (sec, i) =>
+      (i.toLong, java.time.LocalDateTime.ofEpochSecond(sec, 123456000, java.time.ZoneOffset.UTC))
+    }.toDF("event_id", "ts").write.parquet(s"$base/ntz")
+    val dfs = Seq("nanos", "tstz", "ntz").map(d => spark.read.parquet(s"$base/$d"))
+    // the fixture really covers three distinct physical dtypes
+    assert(dfs.map(_.schema("ts").dataType).distinct.length === 3, dfs.map(_.schema("ts").dataType))
+    val results = dfs.map { df =>
+      Tables.withEpochDay(Tables.withEpochSeconds(df))
+        .withColumn("us", unix_micros(Tables.eventTime(df)))
+        .select("event_id", "s", "day", "us")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(results(0) === results(1))
+    assert(results(0) === results(2))
+    // and the values are right in absolute terms, not just consistent
+    assert(results(0).map(_._2) === secs)
+    assert(results(0).map(_._3) === secs.map(_ / 86400))
+    assert(results(0).map(_._4) === secs.map(_ * 1000000L + 123456L))
   }
 }

@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     // batch truth
     val batch = graft.operators.Windows.sessionize(
-      Tables(spark, sf, "events").withColumn("s", expr("ts div 1000000000")),
+      Tables.withEpochSeconds(Tables(spark, sf, "events")),
       "user_id", col("s"), gapSeconds = 1800)
       .groupBy("user_id").agg(max("session_id").as("n_sessions"))
       .as[(Long, Long)].collect().toMap
@@ -113,8 +113,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(                       // same data twice → dups
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(dir.getPath, "b.parquet"))
-    val stream = StreamingOps.readEventStream(spark, dir.getPath)
-      .withColumn("event_time", StreamingOps.tsCol())
+    val raw = StreamingOps.readEventStream(spark, dir.getPath)
+    val stream = raw
+      .withColumn("event_time", StreamingOps.tsCol(raw))
       .withWatermark("event_time", "1 hour")
       .dropDuplicates("event_id")
     val q = stream.writeStream.outputMode("append").format("memory")
