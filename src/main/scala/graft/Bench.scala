@@ -54,5 +54,9 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"bench artifact write to $out failed: ${e.getMessage}") }
     spark.stop()
+    // a bench with broken queries must not look like a clean run to
+    // callers that only check rc (the timings of failed queries are
+    // analysis-error times, not measurements)
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

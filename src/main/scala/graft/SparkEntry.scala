@@ -236,12 +236,20 @@ object SparkEntry {
     // primitive HashAggregate — no sort, no struct comparator. Oracle
     // ranks by the same CAST(round(dist*100) AS BIGINT) ticks.
     "q_j2_nearest" -> ((s, dir) => {
-      Nearest.nearestJoinQuantized(
-        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
-        t(s, dir, "supplier").select("s_suppkey", "s_acctbal"),
-        dist = abs(col("c_acctbal") - col("s_acctbal")),
-        rightKey = "s_suppkey", invQuantum = 100)
-        .select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
+      // the reference shape (temperaturas_rm.py:121-130, 52 stations)
+      // broadcasts; a corpus-scaling right side switches to the
+      // tick-domain kernel — same winner, no corpus-sized broadcast
+      val nn =
+        if (Nearest.fitsBroadcast(supp))
+          Nearest.nearestJoinQuantized(cust, supp,
+            dist = abs(col("c_acctbal") - col("s_acctbal")),
+            rightKey = "s_suppkey", invQuantum = 100)
+        else
+          Nearest.nearestJoinTicks1D(cust, supp,
+            col("c_acctbal"), col("s_acctbal"), "s_suppkey", invQuantum = 100)
+      nn.select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
         .orderBy("c_custkey")
     }),
 

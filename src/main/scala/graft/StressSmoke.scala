@@ -282,5 +282,7 @@ object StressSmoke {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
+    // rc mirrors the artifact's "failed" array (same rationale as Bench)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

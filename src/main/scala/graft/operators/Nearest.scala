@@ -85,6 +85,86 @@ object Nearest {
       .select(leftCols.map(col) ++ rightCols.map(col) :+ col("_dist"): _*)
   }
 
+  /** True when Catalyst's size estimate for `df` fits the session's
+    * `autoBroadcastJoinThreshold` — the same signal the planner uses,
+    * derived from file statistics (no job is triggered). Callers use it
+    * to pick between a broadcast kernel and its shuffle-based scale
+    * twin at plan-build time. */
+  def fitsBroadcast(df: DataFrame): Boolean = {
+    val s = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (s.startsWith("-")) false
+    else {
+      val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    }
+  }
+
+  /** The scale twin of [[nearestJoinQuantized]] for 1-D values (money,
+    * sensor ticks): NO broadcast, NO cross join — safe when the right
+    * side scales with the corpus. Same contract and same winner: among
+    * all right rows, minimize (quantized tick distance, rightKey).
+    *
+    * How it scales: quantize both sides to integer ticks. Right rows
+    * collapse to one row per DISTINCT tick carrying the tie-break
+    * winner `min(rightKey)` — the reduction is a map-side-combined
+    * group-by. The per-tick nearest is then a pred/succ sweep over the
+    * union of distinct right ticks and distinct left ticks (two
+    * running `last` windows), and the answer map joins back to the
+    * left via plain equi-joins. Every corpus-sized step is a shuffle
+    * on the tick key; the only global-window input is the DISTINCT
+    * tick set, which is bounded by the VALUE DOMAIN (fixed-point money
+    * has ≤ ~1M possible ticks), not by row count — at 100 TB it is
+    * exactly as big as at 1 GB.
+    *
+    * Correctness of the sweep: tick distance is monotone in |Δtick|,
+    * so the minimal distance d* is attained at the nearest distinct
+    * tick below (pred) or above (succ); on a tie both carry their
+    * per-tick min key and the smaller wins — identical to the packed
+    * `min(long)` of [[nearestJoinQuantized]]. Exact under the same
+    * fixed-point contract (values are multiples of 1/invQuantum up to
+    * float noise ≪ 1/invQuantum). Left rows find no winner only when
+    * `right` is empty (they drop, as in an inner join). `_dist` is
+    * recomputed full-precision after the join-back. */
+  def nearestJoinTicks1D(left: DataFrame, right: DataFrame,
+                         leftVal: Column, rightVal: Column, rightKey: String,
+                         invQuantum: Double): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val lt = left.withColumn("_ltick", round(leftVal * lit(invQuantum)).cast("long"))
+    val sAgg = right
+      .select(round(rightVal * lit(invQuantum)).cast("long").as("_tick"), col(rightKey))
+      .groupBy("_tick").agg(min(col(rightKey)).as("_mk"))
+    val qT = lt.select(col("_ltick").as("_tick")).distinct()
+      .withColumn("_mk", lit(null).cast(sAgg.schema("_mk").dataType))
+      .withColumn("_isq", lit(1))
+    val un = sAgg.withColumn("_isq", lit(0)).unionByName(qT)
+    // right rows sort before a left probe at the same tick (_isq asc),
+    // so a same-tick right match is visible to both sweeps (d = 0)
+    val cand = when(col("_isq") === 0, struct(col("_tick"), col("_mk")))
+    val wUp = Window.orderBy(col("_tick").asc, col("_isq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDown = Window.orderBy(col("_tick").desc, col("_isq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = un
+      .withColumn("_pred", last(cand, ignoreNulls = true).over(wUp))
+      .withColumn("_succ", last(cand, ignoreNulls = true).over(wDown))
+      .filter(col("_isq") === 1)
+    val dPred = col("_tick") - col("_pred._tick")
+    val dSucc = col("_succ._tick") - col("_tick")
+    val winnerKey =
+      when(col("_pred").isNull, col("_succ._mk"))
+        .when(col("_succ").isNull, col("_pred._mk"))
+        .when(dPred < dSucc, col("_pred._mk"))
+        .when(dSucc < dPred, col("_succ._mk"))
+        .otherwise(least(col("_pred._mk"), col("_succ._mk")))
+    val answer = marked.select(col("_tick").as("_atick"), winnerKey.as("_wk"))
+    lt.join(answer, col("_ltick") === col("_atick"))
+      .join(right, col("_wk") === col(rightKey))
+      .withColumn("_dist", abs(leftVal - rightVal))
+      .select(leftCols.map(col) ++ rightCols.map(col) :+ col("_dist"): _*)
+  }
+
   /** The 100 TB path for the nearest-neighbor join (SURVEY §7 risk 7):
     * grid-bucketed spatial join. Right points are assigned to
     * `cellDeg`-sized lat/lon cells once; each left point probes its own

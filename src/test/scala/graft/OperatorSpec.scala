@@ -92,6 +92,21 @@ class OperatorSpec extends SparkSpec {
     assert(quant === exact)
   }
 
+  test("J2 nearestJoinTicks1D ≡ nearestJoinQuantized (scale twin, same winner incl. ties)") {
+    val rnd = new scala.util.Random(23)
+    // small value pool forces frequent exact ties → the (tick, key)
+    // tie-break is genuinely exercised, plus duplicate right values
+    val left = (1 to 60).map(i => (i, rnd.nextInt(400) / 100.0)).toDF("lid", "lx")
+    val right = (1 to 30).map(i => (i, rnd.nextInt(400) / 100.0)).toDF("rid", "rx")
+    val dist = abs(col("lx") - col("rx"))
+    val quant = Nearest.nearestJoinQuantized(left, right, dist, "rid", invQuantum = 100)
+      .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+    val ticks = Nearest.nearestJoinTicks1D(left, right,
+      col("lx"), col("rx"), "rid", invQuantum = 100)
+      .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+    assert(ticks === quant)
+  }
+
   test("Temporal.rangeJoin ≡ naive non-equi join; half-open [start, end) bounds") {
     import graft.operators.Temporal
     val rnd = new scala.util.Random(13)

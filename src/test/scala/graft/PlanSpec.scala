@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     assert(grid === exact)
   }
 
+  test("q_j2 past the broadcast threshold: tick-domain path, no corpus-sized broadcast") {
+    import spark.implicits._
+    // force the "supplier no longer fits a broadcast" regime the guard
+    // exists for (the 100x case) and check BOTH plan and answer
+    val dflt = SparkEntry.queries("q_j2_nearest")(spark, sf).collect().toSeq
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val df = SparkEntry.queries("q_j2_nearest")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the scale path must not cross-join or nested-loop-broadcast the
+      // corpus-scaling right side
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(df.collect().toSeq === dflt)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("vocab-id assignment has no global un-partitioned window") {
     // Text.buildVocab replaces row_number() OVER (ORDER BY token) — a
     // single-task global window — with range-partition + zipWithIndex;

@@ -441,4 +441,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(results(0).map(_._3) === secs.map(_ / 86400))
     assert(results(0).map(_._4) === secs.map(_ * 1000000L + 123456L))
   }
+
+  test("eventsByDay rebuilds the partitioned copy after an in-place source regeneration") {
+    // round 8's testdata regeneration rewrote events.parquet's part
+    // files in place; the cache key is a fingerprint of the LISTED data
+    // files, so a rewrite must produce a fresh partitioned copy and
+    // sweep the stale one (same SOURCE marker)
+    val sfDir = java.nio.file.Files.createTempDirectory("graft_ebd_").toFile
+    sfDir.deleteOnExit()
+    def writeEvents(n: Int): Unit =
+      (0 until n).map { i =>
+        (i.toLong, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(1704067200L + i * 90000L)), // ~1 day apart
+          i.toLong % 3, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$sfDir/events.parquet")
+    writeEvents(4)
+    val (facts1, _) = Tables.eventsByDay(spark, sfDir.getPath)
+    assert(spark.read.parquet(facts1).count() === 4)
+    // in-place regeneration: same path, different content
+    writeEvents(7)
+    val (facts2, _) = Tables.eventsByDay(spark, sfDir.getPath)
+    assert(facts2 !== facts1, "regenerated source must produce a fresh cache dir")
+    assert(spark.read.parquet(facts2).count() === 7)
+    // the superseded cache of the same source was swept
+    assert(!new java.io.File(facts1).exists())
+  }
 }
