@@ -1132,8 +1132,12 @@ object SparkEntry {
     // family (the interpreted parity folds price full verification)
     "q_dedup_minhash_inc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // in production the ledger IS a persisted parquet table; the
+      // in-line rebuild here is checkpointed so the two ledger
+      // consumers (banding, history scoring) read it, not re-derive it
       val ledger = Dedup.minhashLedgerOf(
         docs.filter(col("doc_id") < 250), "doc_id", "text", w = 3)
+        .localCheckpoint()
       Dedup.applyMinhashIncremental(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 500), "doc_id", "text",
         ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)

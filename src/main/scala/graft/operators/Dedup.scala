@@ -447,7 +447,15 @@ object Dedup {
       s"ledger signature arity mismatch: expected columns doc, s0..s${numHashes - 1} " +
         s"(numHashes=$numHashes), got [${ledger.columns.sorted.mkString(", ")}] — " +
         "rebuild the ledger or pass the numHashes it was persisted with")
+    // Materialize the batch signatures once: the table is referenced by
+    // four downstream plans (bands, history scoring, survivor semi-join,
+    // self scoring) and is the artifact a production pipeline appends to
+    // the persisted ledger anyway. It is BATCH-sized (numHashes longs
+    // per new doc), never history-sized, so executor-local storage is
+    // bounded by the ingestion batch; without this each consumer
+    // re-runs the shingle→fingerprint→16-way-min pipeline.
     val newSigs = minhashLedgerOf(newDocs, idCol, textCol, w, numHashes)
+      .localCheckpoint()
     val nb = detBands(newSigs, numHashes, bands)
     val hb = detBands(ledger, numHashes, bands)
     val candHist = nb.select(col("doc").as("doc_a"), col("band"), col("key"))
@@ -485,15 +493,34 @@ object Dedup {
                           maxIter: Int = 50): DataFrame = {
     // symmetrize via explode, not union: a union's two branches would
     // each re-evaluate the (possibly expensive) upstream pair plan
-    val edges = pairs.select(explode(array(
+    val edges0 = pairs.select(explode(array(
       struct(col(aCol).as("src"), col(bCol).as("dst")),
       struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
-      .select("e.src", "e.dst").distinct().cache()
-    var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("label", col("node")).cache()
-    var cached = labels   // the handle actually holding the round's cache
+      .select("e.src", "e.dst").distinct()
+    // materialize ONCE (one pass over the possibly-expensive pair
+    // plan), truncate lineage so round k's plan doesn't embed rounds
+    // 0..k−1, then right-size round parallelism to the edge count:
+    // label propagation is latency-bound on small cluster graphs
+    // (every round is a scheduled job — width-32 stages of near-empty
+    // partitions dominate wall time) and shuffle-bound on large ones;
+    // partitions ∝ edges serves both regimes. Executor-local blocks
+    // are released by the ContextCleaner when the round frames go out
+    // of scope — nothing stays pinned after the result is consumed.
+    val staged = edges0.localCheckpoint()
+    val nEdges = staged.count()
+    val maxPar = staged.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val p = math.max(1L, math.min(maxPar.toLong, nEdges / 20000L + 1L)).toInt
+    val edges = staged.repartition(p, col("dst")).localCheckpoint()
+    // round 0 folds into initialization: every node starts at
+    // min(own id, min neighbor id) — the symmetrized edge list carries
+    // every node as a dst, so no node is lost
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_mn"))
+      .select(col("dst").as("node"), least(col("dst"), col("_mn")).as("label"))
+      .localCheckpoint()
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       // one aggregation over (own label ∪ neighbors' labels) per round —
       // a single shuffle on node. The pre-round label rides along as
@@ -505,10 +532,8 @@ object Dedup {
         .groupBy("node").agg(
           min(col("label")).as("label"),
           min(when(col("own"), col("label"))).as("old"))
-        .cache()
+        .localCheckpoint()   // eager: the round runs here, lineage cut
       val changed = updated.filter(col("label") < col("old")).limit(1).count()
-      cached.unpersist(blocking = false)   // `changed` materialized `updated`
-      cached = updated
       labels = updated.select("node", "label")
       converged = changed == 0
       i += 1
@@ -517,11 +542,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
           "(component diameter exceeds maxIter); raise maxIter")
-    val out = labels.select(col("node"), col("label").as("cluster"))
-    // final labels stay cached until consumed; edges can go once the
-    // loop is done being planned against them
-    edges.unpersist(blocking = false)
-    out
+    labels.select(col("node"), col("label").as("cluster"))
   }
 
   /** Apply near-dup clustering: keep each cluster's min-id
