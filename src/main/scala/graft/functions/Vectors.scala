@@ -26,8 +26,16 @@ object Vectors {
       acc + element_at(a, d + 1).cast("double") * element_at(b, d + 1).cast("double"))
 
   /** Fold-based cosine (dotFold/√(dotFold·dotFold)) — bit-identical to
-    * the same quotient of `list_reduce` folds in SQL. */
+    * the same quotient of `list_reduce` folds in SQL. Backed by the
+    * fused [[CosineFold]] codegen expression (identical accumulation
+    * order — spec'd bit-for-bit against [[cosineFoldComposed]]). */
   def cosineFold(a: Column, b: Column, dim: Int): Column =
+    CosineFold(a, b, dim)
+
+  /** The composed-builtins form of [[cosineFold]] (interpreted
+    * `aggregate` folds) — kept as the reference semantics the fused
+    * expression is tested against. */
+  def cosineFoldComposed(a: Column, b: Column, dim: Int): Column =
     dotFold(a, b, dim) / sqrt(dotFold(a, a, dim) * dotFold(b, b, dim))
 
   /** Deterministic hyperplane bucket keys, one per table: bit b of
@@ -35,8 +43,16 @@ object Vectors {
     * rational hyperplane w(t,b,d) = ((((t·bits+b)·dim+d)·2654435761)
     * mod 2001 − 1000)/1000 — hash-free, so the identical key
     * computation is expressible in ANSI SQL (the oracle face of
-    * [[hyperplaneBuckets]]). Returns `array<long>` of `tables` keys. */
-  def detHyperplaneKeys(v: Column, dim: Int, bits: Int, tables: Int): Column = {
+    * [[hyperplaneBuckets]]). Returns `array<long>` of `tables` keys.
+    * Backed by the fused [[DetHyperplaneKeysExpr]] codegen expression
+    * (bits×tables interpreted folds per row otherwise — the dominant
+    * cost of the det ANN/near-dup arms). */
+  def detHyperplaneKeys(v: Column, dim: Int, bits: Int, tables: Int): Column =
+    DetHyperplaneKeysExpr(v, dim, bits, tables)
+
+  /** The composed-builtins form of [[detHyperplaneKeys]] — kept as the
+    * reference semantics the fused expression is tested against. */
+  def detHyperplaneKeysComposed(v: Column, dim: Int, bits: Int, tables: Int): Column = {
     def weight(t: Int, b: Int)(d: Column): Column =
       (pmod((lit((t.toLong * bits + b) * dim) + d.cast("long")) * 2654435761L,
         lit(2001L)) - 1000L).cast("double") / 1000.0

@@ -404,4 +404,22 @@ class PlanSpec extends SparkSpec {
       .filter(col("fused") =!= col("composed")).count()
     assert(diff === 0)
   }
+
+  test("fused CosineFold and DetHyperplaneKeys equal their composed forms bit-for-bit") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings").limit(200)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(5000)
+    val cosDiff = pairs.select(
+      graft.functions.Vectors.cosineFold(col("va"), col("vb"), 64).as("fused"),
+      graft.functions.Vectors.cosineFoldComposed(col("va"), col("vb"), 64).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(cosDiff === 0)
+    val keyDiff = e.select(
+      graft.functions.Vectors.detHyperplaneKeys(col("embedding"), 64, 4, 8).as("fused"),
+      graft.functions.Vectors.detHyperplaneKeysComposed(col("embedding"), 64, 4, 8).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(keyDiff === 0)
+  }
 }
