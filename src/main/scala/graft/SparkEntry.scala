@@ -238,18 +238,15 @@ object SparkEntry {
     "q_j2_nearest" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_acctbal")
       val supp = t(s, dir, "supplier").select("s_suppkey", "s_acctbal")
-      // the reference shape (temperaturas_rm.py:121-130, 52 stations)
-      // broadcasts; a corpus-scaling right side switches to the
-      // tick-domain kernel — same winner, no corpus-sized broadcast
-      val nn =
-        if (Nearest.fitsBroadcast(supp))
-          Nearest.nearestJoinQuantized(cust, supp,
-            dist = abs(col("c_acctbal") - col("s_acctbal")),
-            rightKey = "s_suppkey", invQuantum = 100)
-        else
-          Nearest.nearestJoinTicks1D(cust, supp,
-            col("c_acctbal"), col("s_acctbal"), "s_suppkey", invQuantum = 100)
-      nn.select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
+      // 1-D fixed-point distance → the tick-domain kernel wins at EVERY
+      // scale (measured 2.9x vs the broadcast argmin at sf0.1, and it
+      // has no corpus-sized broadcast for the 100x case). The broadcast
+      // kernels remain the general-distance path (ref shape
+      // temperaturas_rm.py:121-130 is 2-D, 52 stations, broadcast);
+      // OperatorSpec pins both kernels to the same winner.
+      Nearest.nearestJoinTicks1D(cust, supp,
+        col("c_acctbal"), col("s_acctbal"), "s_suppkey", invQuantum = 100)
+        .select(col("c_custkey"), col("s_suppkey").as("nearest_supp"), col("_dist").as("dist"))
         .orderBy("c_custkey")
     }),
 

