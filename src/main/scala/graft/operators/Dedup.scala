@@ -684,16 +684,22 @@ object Dedup {
   private def embeddingNearDupXx(embs: DataFrame, idCol: String, vecCol: String,
                                  dim: Int, threshold: Double,
                                  bits: Int, tables: Int): DataFrame = {
-    val bucketed = embs.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = embs.select(col(idCol).as("id"),
       posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
         .as(Seq("t", "b")))
       .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
-    bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
-      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bk")), Seq("bk"))
+    // candidate pairs dedup on IDS ONLY — a pair colliding in several
+    // tables must cost one cosine, not `tables`, and the distinct
+    // shuffle must carry two longs, not two 64-float payloads; vectors
+    // join back per unique pair for the verify
+    val cand = bucketed.select(col("id").as("id_a"), col("bk"))
+      .join(bucketed.select(col("id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand.join(vecs.toDF("id_a", "v_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b"), "id_b")
       .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 
@@ -708,14 +714,19 @@ object Dedup {
   private def embeddingNearDupDet(embs: DataFrame, idCol: String, vecCol: String,
                                   dim: Int, threshold: Double,
                                   bits: Int, tables: Int): DataFrame = {
-    val banded = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = embs.select(col(idCol).as("id"),
       posexplode(Vectors.detHyperplaneKeys(col(vecCol), dim, bits, tables))
         .as(Seq("t", "key")))
-    banded.select(col("id").as("id_a"), col("v").as("v_a"), col("t"), col("key"))
-      .join(banded.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("t"), col("key")), Seq("t", "key"))
+    // ids-only candidate distinct + vector join-back (same shuffle
+    // diet as the xx arm); the verify cosine itself stays the strict
+    // fold, once per unique pair
+    val cand = banded.select(col("id").as("id_a"), col("t"), col("key"))
+      .join(banded.select(col("id").as("id_b"), col("t"), col("key")), Seq("t", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .select("id_a", "id_b").distinct()
+    cand.join(vecs.toDF("id_a", "v_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         Vectors.cosineFold(col("v_a"), col("v_b"), dim).as("cos"))
       .filter(col("cos") >= threshold)

@@ -93,15 +93,22 @@ object Similarity {
                               idCol: String, vecCol: String, dim: Int, k: Int,
                               bits: Int, tables: Int): DataFrame = {
     def bucketize(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id), col(v),
+      df.select(col(id),
         posexplode(Vectors.detHyperplaneKeys(col(v), dim, bits, tables))
           .as(Seq("t", "key")))
-    val q = bucketize(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
-    val c = bucketize(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v")
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val q = bucketize(qv, "q_id", "q_v")
+    val c = bucketize(cv, "n_id", "n_v")
+    // candidates dedup on IDS ONLY: a (q, n) pair colliding in several
+    // tables must not drag two 64-float payloads through the distinct
+    // shuffle once per collision — vectors join back per UNIQUE pair
+    // for scoring (queries usually broadcast; the corpus fetch is a
+    // plain equi-join on n_id)
     val cand = q.join(c, Seq("t", "key")).filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_v", "n_id", "n_v").distinct()
-    val scored = cand.withColumn("cos",
-      Vectors.cosineFold(col("q_v"), col("n_v"), dim))
+      .select("q_id", "n_id").distinct()
+    val scored = cand.join(qv, "q_id").join(cv, "n_id")
+      .withColumn("cos", Vectors.cosineFold(col("q_v"), col("n_v"), dim))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -113,15 +120,19 @@ object Similarity {
                              idCol: String, vecCol: String, dim: Int, k: Int,
                              bits: Int, tables: Int): DataFrame = {
     def bucketize(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id), col(v),
+      df.select(col(id),
         posexplode(Vectors.hyperplaneBuckets(col(v), dim, bits, tables, seed = 2000))
           .as(Seq("t", "b")))
         .withColumn("bk", struct(col("t"), col("b"))).drop("t", "b")
-    val q = bucketize(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
-    val c = bucketize(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v")), "n_id", "n_v")
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_v"))
+    val q = bucketize(qv, "q_id", "q_v")
+    val c = bucketize(cv, "n_id", "n_v")
+    // ids-only distinct + vector join-back — see the det arm's note
     val cand = q.join(c, Seq("bk")).filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_v", "n_id", "n_v").distinct()
-    val scored = cand.withColumn("cos", round(Vectors.cosine(col("q_v"), col("n_v")), 6))
+      .select("q_id", "n_id").distinct()
+    val scored = cand.join(qv, "q_id").join(cv, "n_id")
+      .withColumn("cos", round(Vectors.cosine(col("q_v"), col("n_v")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

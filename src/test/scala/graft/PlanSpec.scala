@@ -162,8 +162,9 @@ class PlanSpec extends SparkSpec {
     // operators whose all-pairs shape is the documented design:
     //  - q_sim_topk: exact brute-force ANN baseline (Similarity.bruteForceTopK)
     //  - q_j3_gravity: all-pairs gravity flow matrix (zones × zones, COO)
-    //  - q_j2_nearest: broadcast NN-join (grid-bucketed alternative exists)
-    val allPairsByDesign = Set("q_sim_topk", "q_j3_gravity", "q_j2_nearest")
+    // (q_j2_nearest left this list when it moved to the tick-domain
+    // kernel — its plan is equi-joins + a bounded-domain window)
+    val allPairsByDesign = Set("q_sim_topk", "q_j3_gravity")
     // q_sim_ivf's nested-loop is NOT all-pairs: it is the coarse
     // quantizer assigning vectors to the constant nCells-row centroid
     // table (bounded 16× fan-out, O(N·nCells)); the candidate join
