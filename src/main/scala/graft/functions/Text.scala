@@ -200,7 +200,21 @@ object Text {
     * token stream, and per-doc cardinality bounds every group. No
     * windows, no driver state. Docs with fewer than 2 tokens have no
     * bigrams → `top_bigram_frac` = 0. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), RepetitionStatsExpr(col(textCol)).as("_r"))
+      .select(
+        col(idCol), col("_r.n_tok").as("n_tok"),
+        ((col("_r.n_tok") - col("_r.n_distinct")).cast("double") / col("_r.n_tok"))
+          .as("dup_token_frac"),
+        (col("_r.top_c").cast("double") / col("_r.n_tok")).as("top_token_frac"),
+        when(col("_r.n_bg") > 0, col("_r.top_bg").cast("double") / col("_r.n_bg"))
+          .otherwise(0.0).as("top_bigram_frac"))
+
+  /** The composed explode→groupBy form of [[repetitionStats]] — kept as
+    * the reference semantics the fused expression is spec'd against
+    * (it shuffles every token/bigram of the corpus twice, which is why
+    * the per-row [[RepetitionStatsExpr]] replaced it). */
+  def repetitionStatsComposed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val uniCounts = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))

@@ -424,4 +424,22 @@ class PlanSpec extends SparkSpec {
       .filter(col("fused") =!= col("composed")).count()
     assert(keyDiff === 0)
   }
+
+  test("fused RepetitionStatsExpr equals the composed explode/groupBy form row-for-row") {
+    import spark.implicits._
+    // includes docs with trailing spaces, repeats, and a single token
+    val docs = (Tables(spark, sf, "documents").select("doc_id", "text")
+      union Seq((100001L, "a a a"), (100002L, "x"), (100003L, "b b "), (100004L, ""))
+        .toDF("doc_id", "text"))
+    val fused = graft.functions.Text.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val composed = graft.functions.Text.repetitionStatsComposed(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused === composed)
+    // and the plan really is exchange-free (scan-parallel)
+    val plan = graft.functions.Text.repetitionStats(
+      Tables(spark, sf, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
