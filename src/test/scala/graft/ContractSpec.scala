@@ -1,0 +1,36 @@
+package graft
+
+/** The driver contract, gated inside `sbt test`:
+  *
+  * Round 8 ended red because a testdata regeneration flipped a column
+  * dtype and 17 registered queries started failing AT ANALYSIS — a
+  * class of breakage none of the operator unit tests could see,
+  * because they build their own fixtures. This suite analyzes every
+  * `SparkEntry.queries` entry against the CURRENT testdata (analysis
+  * resolves every column reference and type coercion without paying
+  * for execution), so environment drift turns the test suite red the
+  * moment it lands instead of at round end.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every registered query analyzes against the current testdata") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle-SQL entry pairs with a registered query") {
+    // a dangling oracle key would make the driver's DuckDB compare
+    // look up a dump directory that was never written
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql without queries entry: $dangling")
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).limit(1).collect().nonEmpty)
+  }
+}
