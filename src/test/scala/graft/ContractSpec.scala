@@ -33,4 +33,15 @@ class ContractSpec extends SparkSpec {
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).limit(1).collect().nonEmpty)
   }
+
+  test("testdata embedding dim is the 64 the ANN call sites configure") {
+    // dim is a query-site parameter (dim = 64 throughout SparkEntry);
+    // a regeneration that changed the vector width would otherwise
+    // surface as an opaque 'vector shorter than dim' runtime error
+    import org.apache.spark.sql.functions.{col, size}
+    val n = Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(n === 64,
+      s"embeddings.embedding has dim $n — update the dim=64 call sites")
+  }
 }
