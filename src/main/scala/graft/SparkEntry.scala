@@ -3415,7 +3415,10 @@ object SparkEntry {
         |  FROM events),
         |l AS (
         |  SELECT user_id, event_id, s, value,
-        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800
+        |    -- STRICTLY greater: session_window merges an event landing
+        |    -- exactly at previous + gap (inclusive end), verified on a
+        |    -- real boundary pair at sf0.1
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
         |         THEN 1 ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
         |m AS (

@@ -213,4 +213,20 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L), (2L, 1L)))
   }
+
+  test("session_window merges an event at exactly start+gap (inclusive end)") {
+    import spark.implicits._
+    // 0s and 1800s must MERGE (session_window's end is inclusive for
+    // merging — verified against a real boundary pair at sf0.1);
+    // 3601s (gap 1801 > 1800) starts a new session. The DuckDB oracle
+    // models this with a STRICTLY-greater new-session test.
+    val ev = Seq(1L -> 0L, 2L -> 1800L, 3L -> 3601L)
+      .map { case (id, s) => (id,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)),
+        7L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ns = StreamingOps.sessionWindowAgg(ev)
+      .collect().map(_.getAs[Long]("n")).sorted.toSeq
+    assert(ns === Seq(1L, 2L))
+  }
 }
