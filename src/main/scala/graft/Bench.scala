@@ -45,14 +45,19 @@ object Bench {
     val json =
       s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField$onlyField}"""
     println(json)
-    // Also persist to a file: the driver captures sbt stdout with a tail
-    // window, which has truncated the (large) JSON line before — the file is
-    // the durable artifact, stdout the human-readable echo.
+    // Persist the full per-query JSON to a file: the driver captures sbt
+    // stdout with a tail window, which has truncated the (large) JSON line
+    // before (round 9: BENCH parsed:null) — the file is the durable
+    // artifact, stdout the human-readable echo.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench artifact write to $out failed: ${e.getMessage}") }
+    // Compact summary as the FINAL stdout line: short enough that no tail
+    // window can truncate it, so a parser that takes the last JSON line
+    // always recovers at least the total + where the per-query file lives.
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","queries_file":"$out"$failuresField}""")
     spark.stop()
     // a bench with broken queries must not look like a clean run to
     // callers that only check rc (the timings of failed queries are

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused cosine similarity over two `array<float>` columns:
   * dot(a,b) / (‖a‖·‖b‖) in one pass, with whole-stage codegen.
@@ -21,13 +21,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Null semantics match the composed form: null array or any null
   * element → null.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   // a null ELEMENT nulls the result even when the inputs are
   // non-nullable, so nullability must not be inherited from the children
   override def nullable: Boolean = true
+  // the loop reads getFloat(i) directly: an array<double> dtype drift must
+  // fail at analysis (where ContractSpec gates it), not read garbage bytes
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Fused codegen forms of the ORACLE-PARITY vector folds
   * ([[Vectors.cosineFoldComposed]] / [[Vectors.detHyperplaneKeysComposed]]).
@@ -25,12 +25,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * composed form and the DuckDB oracle.
   */
 case class CosineFold(left: Expression, right: Expression, dim: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_fold"
   // a null ELEMENT nulls the result even for non-nullable inputs
   override def nullable: Boolean = true
+  // the loops read getFloat(d) directly: an embeddings regeneration to
+  // array<double> must fail at ANALYSIS (where ContractSpec gates every
+  // query), not read garbage bytes at runtime
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -96,10 +101,12 @@ object CosineFold {
   * produces all-zero keys (the composed `when(null ≥ 0, …).otherwise(0)`
   * collapses every bit to 0), kept bug-for-bug for parity. */
 case class DetHyperplaneKeysExpr(child: Expression, dim: Int, bits: Int, tables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "det_hyperplane_keys"
+  // same float-element contract as CosineFold: dtype drift → analysis error
+  override def inputTypes = Seq(ArrayType(FloatType))
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -1,23 +1,27 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Σ aᵢ·bᵢ over two `array<float>` columns with whole-stage codegen —
   * same rationale and accumulation order as [[CosineSim]] (index-order
   * fold, so it matches the `zip_with`/`aggregate` composition
   * bit-for-bit). Used in IVF cell assignment where only the dot
   * product (not the norms) is needed. */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
   // null elements null the result even for non-nullable inputs
   override def nullable: Boolean = true
+  // the loop reads getFloat(i) directly: an array<double> dtype drift must
+  // fail at analysis (where ContractSpec gates it), not read garbage bytes
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

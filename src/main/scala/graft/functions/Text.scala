@@ -201,7 +201,11 @@ object Text {
     * windows, no driver state. Docs with fewer than 2 tokens have no
     * bigrams → `top_bigram_frac` = 0. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), RepetitionStatsExpr(col(textCol)).as("_r"))
+    // null-text docs are DROPPED, matching [[repetitionStatsComposed]]
+    // (exploding a null token array yields no rows); without the filter
+    // the fused expression would null-propagate them into all-null rows
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), RepetitionStatsExpr(col(textCol)).as("_r"))
       .select(
         col(idCol), col("_r.n_tok").as("n_tok"),
         ((col("_r.n_tok") - col("_r.n_distinct")).cast("double") / col("_r.n_tok"))

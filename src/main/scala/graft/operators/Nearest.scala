@@ -131,9 +131,20 @@ object Nearest {
                          invQuantum: Double): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    // null left values are dropped HERE, not left to the final equi-join:
+    // a null _ltick would otherwise enter the sweep (sorting first in the
+    // ascending window, last in the descending one) and pick up a spurious
+    // winner from the _succ arm — [[nearestJoinQuantized]] drops such rows,
+    // and the kernels must agree row-for-row (OperatorSpec asserts it)
     val lt = left.withColumn("_ltick", round(leftVal * lit(invQuantum)).cast("long"))
+      .filter(col("_ltick").isNotNull)
+    // symmetric: a null RIGHT tick would sort first in the ascending sweep
+    // and become a _pred candidate whose null _tick makes both distance
+    // comparisons null, falling through to least(...) — a spurious winner.
+    // min(packed) in the quantized kernel skips nulls; match it.
     val sAgg = right
       .select(round(rightVal * lit(invQuantum)).cast("long").as("_tick"), col(rightKey))
+      .filter(col("_tick").isNotNull)
       .groupBy("_tick").agg(min(col(rightKey)).as("_mk"))
     val qT = lt.select(col("_ltick").as("_tick")).distinct()
       .withColumn("_mk", lit(null).cast(sAgg.schema("_mk").dataType))

@@ -7,9 +7,20 @@ package graft
   * class of breakage none of the operator unit tests could see,
   * because they build their own fixtures. This suite analyzes every
   * `SparkEntry.queries` entry against the CURRENT testdata (analysis
-  * resolves every column reference and type coercion without paying
-  * for execution), so environment drift turns the test suite red the
-  * moment it lands instead of at round end.
+  * resolves every column reference and type coercion), so environment
+  * drift turns the test suite red the moment it lands instead of at
+  * round end.
+  *
+  * Cost note: "analyze" is NOT free for every entry. Builders whose
+  * plan CONSTRUCTION is eager — the incremental-dedup ledger's
+  * `localCheckpoint` (q_dedup_minhash_inc / q_dedup_incremental) and
+  * the connected-components driver loop (q_dedup_cluster*) — run real
+  * sf0.001 jobs here. That is accepted deliberately: the eagerness is
+  * load-bearing (the ledger checkpoint cuts lineage the iterative
+  * consumers depend on; CC's convergence loop must count frontiers),
+  * and at sf0.001 the whole suite stays a few seconds. Making them
+  * lazy just for this gate would test a different plan than the one
+  * that ships.
   */
 class ContractSpec extends SparkSpec {
 

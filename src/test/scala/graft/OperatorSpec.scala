@@ -107,6 +107,22 @@ class OperatorSpec extends SparkSpec {
     assert(ticks === quant)
   }
 
+  test("J2 nearestJoinTicks1D ≡ nearestJoinQuantized with null values on BOTH sides") {
+    // null left values must drop (not pick up a spurious _succ winner);
+    // null right values must be skipped (not become a null-tick _pred
+    // whose null distance falls through to the least(...) tie arm)
+    val left = Seq((1, Some(1.00)), (2, None), (3, Some(0.10))).toDF("lid", "lx")
+    val right = Seq((10, Some(0.90)), (11, None), (12, Some(5.00))).toDF("rid", "rx")
+    val dist = abs(col("lx") - col("rx"))
+    val quant = Nearest.nearestJoinQuantized(left, right, dist, "rid", invQuantum = 100)
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    val ticks = Nearest.nearestJoinTicks1D(left, right,
+      col("lx"), col("rx"), "rid", invQuantum = 100)
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(ticks === quant)
+    assert(ticks === Set((1, 10), (3, 10)))  // lid=2 dropped; rid=11 never wins
+  }
+
   test("Temporal.rangeJoin ≡ naive non-equi join; half-open [start, end) bounds") {
     import graft.operators.Temporal
     val rnd = new scala.util.Random(13)

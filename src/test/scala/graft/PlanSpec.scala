@@ -427,9 +427,12 @@ class PlanSpec extends SparkSpec {
 
   test("fused RepetitionStatsExpr equals the composed explode/groupBy form row-for-row") {
     import spark.implicits._
-    // includes docs with trailing spaces, repeats, and a single token
+    // includes docs with trailing spaces, repeats, a single token, and a
+    // NULL text (both forms must drop it — composed explodes to no rows,
+    // fused filters it before the expression)
     val docs = (Tables(spark, sf, "documents").select("doc_id", "text")
-      union Seq((100001L, "a a a"), (100002L, "x"), (100003L, "b b "), (100004L, ""))
+      union Seq((100001L, Some("a a a")), (100002L, Some("x")),
+          (100003L, Some("b b ")), (100004L, Some("")), (100005L, None))
         .toDF("doc_id", "text"))
     val fused = graft.functions.Text.repetitionStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
