@@ -502,7 +502,12 @@ object SparkEntry {
 
     // Interval×interval overlap join: 30-min purchase windows meeting
     // 60-min view windows of the same user — bucketed equi-join with
-    // arithmetic first-shared-bucket pair dedup (never a nested loop)
+    // arithmetic first-shared-bucket pair dedup (never a nested loop).
+    // Bucket width is DERIVED from the span distribution
+    // (adaptiveBucketWidth → 2·p95 pow2-snapped = 8192 here), not a
+    // caller constant: measured best at 10× replicas (min 2.8 s vs
+    // 3.2 s for the old 1800) and a wash at sf0.1 — the shape a tuned
+    // constant gets wrong first when the data drifts.
     "q_interval_join" -> ((s, dir) => {
       val e = eventsPrep(s, dir)
       val p = e.filter(col("event_type") === "purchase")
@@ -512,7 +517,7 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("v_event"),
           col("s").as("vs"), (col("s") + 3600).as("ve"))
       Temporal.intervalOverlapJoin(p, v, Seq("user_id"),
-        "ps", "pe", "vs", "ve", bucketWidth = 1800)
+        "ps", "pe", "vs", "ve")
         .select("user_id", "p_event", "v_event")
         .orderBy("user_id", "p_event", "v_event")
     }),

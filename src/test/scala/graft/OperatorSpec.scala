@@ -820,6 +820,27 @@ class OperatorSpec extends SparkSpec {
     assert(bucketed.sorted === naive.sorted)               // same pairs…
     assert(bucketed.distinct.size === bucketed.size)       // …each exactly once
     assert(naive.nonEmpty)
+    // the adaptive-width overload returns the identical pair set
+    // (correctness is width-invariant; only the bucket grid changes)
+    val adaptive = Temporal.intervalOverlapJoin(left, right, Seq("k"),
+      "ls", "le", "rs", "re")
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(adaptive.sorted === naive.sorted)
+    assert(adaptive.distinct.size === adaptive.size)
+  }
+
+  test("Temporal.adaptiveBucketWidth: 2·p95 snapped to the next power of two; fallback") {
+    // 95 spans of 1000 s + 5 outliers of 50000 s → p95 = 1000,
+    // 2·p95 = 2000 → snap 2048 (the outliers must NOT set the grid)
+    val iv = (1 to 100).map(i => (i.toLong, 0L, if (i <= 95) 1000L else 50000L))
+      .toDF("id", "s", "e")
+    assert(Temporal.adaptiveBucketWidth(Seq((iv, "s", "e"))) === 2048L)
+    // exact power of two stays put: all spans 1024 → 2·p95 = 2048
+    val pow2 = (1 to 10).map(i => (i.toLong, 0L, 1024L)).toDF("id", "s", "e")
+    assert(Temporal.adaptiveBucketWidth(Seq((pow2, "s", "e"))) === 2048L)
+    // no positive spans → documented fallback
+    val empty = Seq((1L, 5L, 5L)).toDF("id", "s", "e")
+    assert(Temporal.adaptiveBucketWidth(Seq((empty, "s", "e"))) === 3600L)
   }
 
   test("Sampling.exactNPerGroup: exact sizes, plain subset, partitioning-stable membership") {

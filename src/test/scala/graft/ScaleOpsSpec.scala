@@ -21,6 +21,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("connectedComponents converges on a 10k-node path graph within default maxIter") {
+    // the diameter-safe guarantee: pointer doubling makes rounds
+    // O(log diameter), so a 10_000-edge chain — the pathological
+    // shape for plain label propagation (10k rounds) — converges
+    // inside the default maxIter = 50 (needs ~15 doubling rounds)
+    import graft.operators.Dedup
+    val chain = (0L until 10000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+    assert(labels.filter(col("cluster") =!= 0L).count() === 0)
+    assert(labels.count() === 10001)
+  }
+
   test("RestJsonSource: distributed fetch + from_json with per-request error isolation") {
     val schema = StructType(Seq(StructField("station", StringType),
       StructField("temps", ArrayType(DoubleType))))
