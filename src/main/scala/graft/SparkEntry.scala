@@ -131,6 +131,32 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A8-approx: the 100 TB twin of q_a8_percentiles — quantiles from
+    // the Greenwald–Khanna sketch (partial-merged map-side; the
+    // shuffle carries sketches, not sorted groups). The sketch value
+    // is engine-specific, so — like q_profile_approx's HLL bound —
+    // the query exports BOUND CHECKS: each approx quantile must land
+    // between the exact interpolated percentiles ±1% of rank (100×
+    // the sketch's guaranteed 1/accuracy = 0.01% rank error), which
+    // the oracle asserts as constant TRUE. The exact q_a8_percentiles
+    // stays the ground-truth arm; production at scale runs this one.
+    "q_a8_percentiles_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ap = li.groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"))
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("eq"),
+        expr("percentile(l_extendedprice, array(0.89, 0.91))").as("ep"))
+      ap.join(ex, "l_returnflag").select(
+        col("l_returnflag"),
+        (col("aq")(0) >= col("eq")(0) && col("aq")(0) <= col("eq")(1)).as("q25_ok"),
+        (col("aq")(1) >= col("eq")(2) && col("aq")(1) <= col("eq")(3)).as("q50_ok"),
+        (col("aq")(2) >= col("eq")(4) && col("aq")(2) <= col("eq")(5)).as("q75_ok"),
+        (col("ap90") >= col("ep")(0) && col("ap90") <= col("ep")(1)).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // A10: per-group winsorization (outlier clipping to [p05, p95]) —
     // verified by the exact clamp-decision counts (pure integers) plus
     // the round-6 bounds; duplicate-adjacent percentile values make the
@@ -144,6 +170,30 @@ object SparkEntry {
           sum(when(col("l_extendedprice") > col("_hi"), 1L).otherwise(0L)).as("n_above"),
           round(min("_lo"), 6).as("lo"),
           round(max("_hi"), 6).as("hi"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A10-approx: winsorize with sketch bounds (the 100 TB arm of the
+    // winsorize dispatch — see Profile.winsorize). Exported as bound
+    // checks: the approx p05/p95 must land within ±1% rank of exact
+    // (oracle asserts TRUE), and n_escaped proves the clamp invariant
+    // (no output value outside [_lo,_hi]) holds regardless of which
+    // arm produced the bounds — an exact 0, not a tolerance.
+    "q_winsorize_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Profile.winsorize(li, "l_extendedprice", Seq("l_returnflag"),
+        lo = 0.05, hi = 0.95, approx = true)
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, array(0.04, 0.06, 0.94, 0.96))").as("e"))
+      w.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          min("_lo").as("_alo"), min("_hi").as("_ahi"),
+          sum(when(col("l_extendedprice_w") < col("_lo")
+            || col("l_extendedprice_w") > col("_hi"), 1L).otherwise(0L)).as("n_escaped"))
+        .join(ex, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("n_escaped"),
+          (col("_alo") >= col("e")(0) && col("_alo") <= col("e")(1)).as("lo_ok"),
+          (col("_ahi") >= col("e")(2) && col("_ahi") <= col("e")(3)).as("hi_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -1847,6 +1897,21 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch estimates are engine-specific, so the oracle pins the
+    // BOUNDS (each approx quantile within ±1% rank of exact, asserted
+    // TRUE) — a hash match means every Spark estimate held its bound
+    "q_a8_percentiles_approx" ->
+      """SELECT l_returnflag, TRUE AS q25_ok, TRUE AS q50_ok,
+        |  TRUE AS q75_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same bound-check contract; n and n_escaped are exact integers
+    // (n_escaped = 0 is the clamp invariant, sketch-independent)
+    "q_winsorize_approx" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS n_escaped, TRUE AS lo_ok, TRUE AS hi_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a4_nullcount" ->

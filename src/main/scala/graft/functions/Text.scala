@@ -61,25 +61,47 @@ object Text {
     * stopword ratio, punctuation ratio. Pure expressions. */
   def qualityFeatures(df: DataFrame, textCol: String,
                       stopwords: Seq[String]): DataFrame = {
+    // ONE byte-level pass for all four counters (QualityStatsExpr) —
+    // the previous composed form ran three per-row engines (split
+    // array, lookaround regexp_extract_all, regexp_replace) whose cost
+    // dominated the quality gate at the 100× stress scale; it survives
+    // as [[qualityFeaturesComposed]], the reference the spec compares
+    // against row-for-row. The downstream arithmetic is the identical
+    // double expression over identical integer counts, so feature
+    // values are bit-for-bit unchanged.
+    val q = graft.functions.QualityStatsExpr(col(textCol), stopwords)
+    df.withColumn("_q", q)
+      .withColumn("n_tokens", col("_q.n_tok").cast("int"))
+      // Σ token length ≡ length − (nTok−1): split-on-' ' partitions the
+      // string, so non-token chars are exactly the nTok−1 separators.
+      .withColumn("avg_token_len",
+        (col("_q.n_chars") - (col("_q.n_tok") - 1)).cast("double") /
+          col("_q.n_tok").cast("double"))
+      .withColumn("stopword_ratio",
+        col("_q.n_stop").cast("double") / col("_q.n_tok").cast("double"))
+      .withColumn("punct_ratio",
+        col("_q.n_punct").cast("double") / col("_q.n_chars").cast("double"))
+      .drop("_q")
+  }
+
+  /** The composed regex/split form of [[qualityFeatures]] — kept as
+    * the reference semantics the fused byte-walk expression is spec'd
+    * against (three per-row engines: split array for counts, padded
+    * lookaround regex for stopwords, regexp_replace for punct). */
+  def qualityFeaturesComposed(df: DataFrame, textCol: String,
+                              stopwords: Seq[String]): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks).cast("double")
     // stopword count as a codegen regex over the space-padded text:
     // zero-width lookarounds keep boundary spaces unconsumed, so
     // consecutive stopwords ("the a") each match — exactly the tokens
-    // equal to a stopword. The composed form, size(filter(toks,
-    // array_contains(...))), is an interpreted higher-order expression
-    // (CodegenFallback) that dominated this operator's per-row cost at
-    // the 10x stress scale.
+    // equal to a stopword
     val stopAlt = stopwords.map(java.util.regex.Pattern.quote).mkString("|")
     val nStop = size(regexp_extract_all(concat(lit(" "), t, lit(" ")),
       lit(s"(?<= )(?:$stopAlt)(?= )"), lit(0))).cast("double")
     val nPunct = length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))
     df.withColumn("n_tokens", size(toks))
-      // Σ token length ≡ length − (nTok−1): split-on-' ' partitions the
-      // string, so non-token chars are exactly the nTok−1 separators.
-      // Pure codegen arithmetic instead of an interpreted higher-order
-      // aggregate (CodegenFallback) that re-walked the token array.
       .withColumn("avg_token_len",
         (length(t) - (size(toks) - 1)).cast("double") / nTok)
       .withColumn("stopword_ratio", nStop / nTok)

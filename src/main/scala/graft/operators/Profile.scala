@@ -25,13 +25,28 @@ object Profile {
     * group): one aggregation for the bounds, then a join back sized by
     * the optimizer — the bounds table has one row per group, so AQE
     * broadcasts it whenever the group count is sane and the corpus
-    * streams without a shuffle. */
+    * streams without a shuffle.
+    *
+    * Exact-vs-approx dispatch: `approx = false` (default) computes
+    * exact interpolated percentiles — a sort-based aggregate whose
+    * per-group cost grows with group size; that is the oracle-matched
+    * arm. `approx = true` is the 100 TB arm: bounds come from
+    * `approx_percentile` (Greenwald–Khanna sketch, rank error ≤
+    * 1/`accuracy`), which partial-aggregates map-side and shuffles
+    * only merged sketches — the same sketch-for-sort swap the profile
+    * family makes with HLL (`approxDistinct`). The clamped output's
+    * INVARIANT (every `<valueCol>_w` lies inside [_lo, _hi]) is
+    * independent of which arm produced the bounds; only the bounds
+    * move, by at most the sketch's rank error. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                lo: Double, hi: Double): DataFrame = {
+                lo: Double, hi: Double, approx: Boolean = false,
+                accuracy: Int = 10000): DataFrame = {
     require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo/$hi")
+    def pct(q: Double) =
+      if (approx) percentile_approx(col(valueCol), lit(q), lit(accuracy))
+      else percentile(col(valueCol), lit(q))
     val bounds = df.groupBy(groupCols.map(col): _*).agg(
-      percentile(col(valueCol), lit(lo)).as("_lo"),
-      percentile(col(valueCol), lit(hi)).as("_hi"))
+      pct(lo).as("_lo"), pct(hi).as("_hi"))
     joinBounds(df, bounds, groupCols)
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("_lo")), col("_hi")))

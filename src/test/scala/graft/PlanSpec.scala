@@ -425,6 +425,34 @@ class PlanSpec extends SparkSpec {
     assert(keyDiff === 0)
   }
 
+  test("fused QualityStatsExpr equals the composed regex/split form row-for-row") {
+    import spark.implicits._
+    // real corpus + adversarial edges: consecutive stopwords, double
+    // spaces (empty tokens), trailing space, single token,
+    // punctuation-only, multi-byte codepoints (each counts once as
+    // punct and once as a char), and null text (null features both
+    // ways). Empty text is OUTSIDE the operator contract: ANSI mode
+    // throws on its 0/0 punct_ratio in both forms alike.
+    val docs = (Tables(spark, sf, "documents").select("doc_id", "text")
+      union Seq((200001L, Some("the a the")), (200002L, Some("a  b ")),
+          (200003L, Some("x")), (200005L, Some("!?.,")),
+          (200006L, Some("café 世界 a")), (200007L, None))
+        .toDF("doc_id", "text"))
+    val stops = Seq("the", "a")
+    val fused = graft.functions.Text.qualityFeatures(docs, "text", stops)
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio")
+      .orderBy("doc_id").collect().toSeq
+    val composed = graft.functions.Text.qualityFeaturesComposed(docs, "text", stops)
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused.map(_.toString) === composed.map(_.toString))
+    // and the gate plan is exchange-free up to its output sort
+    val plan = graft.functions.Text.qualityFeatures(
+      Tables(spark, sf, "documents"), "text", stops)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("fused RepetitionStatsExpr equals the composed explode/groupBy form row-for-row") {
     import spark.implicits._
     // includes docs with trailing spaces, repeats, a single token, and a
