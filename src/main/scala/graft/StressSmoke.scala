@@ -47,12 +47,14 @@ object StressSmoke {
     * halves of the engine: the LLM-ops families (dedup/text/
     * multimodal/sampling) and the relational/window/TPC-H families.
     * Excluded by design: q_sim_topk (the documented quadratic exact-ANN
-    * baseline), q_dedup_cluster_apply (its cost is the q_dedup_cluster
-    * iteration already in the pack plus one anti-join), and
-    * q_w2_seasonal/q_a2_median and friends whose cost is a strict
-    * subset of a packed sibling. */
+    * baseline) and q_w2_seasonal/q_a2_median and friends whose cost is
+    * a strict subset of a packed sibling. (q_dedup_cluster_apply —
+    * formerly excluded as cluster + one anti-join — is IN since round
+    * 10 so the 100× probes can cover the full cluster-then-apply
+    * path.) */
   val stressQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_apply", "q_dedup_jaccard", "q_dedup_cluster",
+    "q_dedup_cluster_apply",
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
     "q_text_stats", "q_text_clean", "q_text_fingerprint", "q_text_rollingfp",
     "q_text_langid", "q_text_vocab", "q_text_tokenids", "q_text_topk",
