@@ -93,10 +93,15 @@ object Dedup {
     * table is a map-side-combined min(struct(id, pos)) per distinct
     * line (hot boilerplate lines — nav bars, cookie banners — collapse
     * in the combiner, so the shuffle carries distinct lines, not
-    * occurrences); the keep decision is an equi-join on the line (AQE
-    * skew-split handles the boilerplate keys); the rebuild shuffles
-    * (id, pos, line) once and reassembles with an ordered in-memory
-    * sort per doc. Nothing is ever all-pairs. */
+    * occurrences). The winner table IS the surviving line set — one
+    * row per distinct line, tagged with exactly the (id, pos) where it
+    * survives — so no join back onto the occurrence stream is needed
+    * at all (round 10: the former keep-decision equi-join re-shuffled
+    * every line occurrence of the corpus to recompute what the winner
+    * rows already state); the rebuild shuffles the WINNERS (≤ one row
+    * per distinct line) by id and reassembles with an ordered
+    * in-memory sort per doc. Nothing is ever all-pairs, and no shuffle
+    * carries the occurrence stream twice. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
@@ -104,8 +109,8 @@ object Dedup {
       posexplode(split(col(textCol), quoted)).as(Seq("pos", "line")))
     val winners = lines.groupBy("line")
       .agg(min(struct(col(idCol), col("pos"))).as("_keep"))
-    lines.join(winners, Seq("line"))
-      .filter(struct(col(idCol), col("pos")) === col("_keep"))
+    winners
+      .select(col(s"_keep.$idCol").as(idCol), col("_keep.pos").as("pos"), col("line"))
       .groupBy(col(idCol))
       .agg(
         array_join(
