@@ -1489,6 +1489,19 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // Text 11: CCNet-style LM quality filter — bigram LM with add-one
+    // smoothing trained on a reference slice (doc_id < 200 stands in
+    // for the curated seed corpus: the SMALL side, broadcast at every
+    // SF) scores the rest of the corpus by mean negative log-prob per
+    // bigram. n_bg/n_hit are exact integers; nll carries the 6-dp
+    // accumulation-order rounding recipe (same class as q_text_tfidf).
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.lmScore(docs.filter(col("doc_id") < 200),
+        docs.filter(col("doc_id") >= 200), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Text 8: PII redaction — emails/SSNs/phones/IPv4 replaced by typed
     // tags. The corpus is synthetic word-soup, so the oracle here
     // asserts NO false positives (output ≡ input, verified by md5);
@@ -3259,6 +3272,44 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rank, term, ROUND(score, 6) AS score
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors Text.lmScore: add-one bigram LM estimated on the
+    // doc_id < 200 reference slice — same bigram construction as the
+    // jaccard CTEs (no truncated tail shingle), context marginal from
+    // the bigram table, V+1 smoothing denominator, avg(-ln p) with the
+    // 6-dp accumulation-order rounding recipe
+    "q_lm_score" ->
+      """WITH refd AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+        |rix AS (SELECT w, unnest(range(1, greatest(len(w), 2))) AS i FROM refd),
+        |rbg AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS bg, CAST(COUNT(*) AS BIGINT) AS c_bg
+        |  FROM rix WHERE len(w) >= 2 GROUP BY 1),
+        |rctx AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx
+        |  FROM rbg GROUP BY 1),
+        |rv AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(w) AS tok FROM refd)),
+        |tgtd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id >= 200),
+        |tix AS (SELECT doc_id, w, unnest(range(1, greatest(len(w), 2))) AS i FROM tgtd),
+        |tbg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |  FROM tix WHERE len(w) >= 2),
+        |j AS (
+        |  SELECT t.doc_id, rbg.c_bg, rctx.c_ctx, rv.v
+        |  FROM tbg t
+        |  LEFT JOIN rbg USING (bg)
+        |  LEFT JOIN rctx ON rctx.w1 = string_split(t.bg, ' ')[1]
+        |  CROSS JOIN rv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+        |  CAST(SUM(CASE WHEN c_bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  ROUND(AVG(-ln(
+        |    (CAST(COALESCE(c_bg, 0) AS DOUBLE) + 1) /
+        |    (CAST(COALESCE(c_ctx, 0) AS DOUBLE) + v + 1))), 6) AS nll
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same four patterns as Text.redactPii, RE2-compatible, 'g' flag =
     // Spark's replace-all default; md5 compares the full redacted text

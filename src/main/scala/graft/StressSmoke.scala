@@ -263,12 +263,18 @@ object StressSmoke {
     // a query that throws is recorded, not fatal: the JSON carries a
     // "failed" array so downstream tooling (stress_merge.py) can reject
     // a partial run without grepping logs — a crashed run's survivors
-    // must never min-merge into the round artifact as if they were clean
+    // must never min-merge into the round artifact as if they were clean.
+    // BOTH failure paths feed it: construction errors (the catch) AND
+    // per-rep runtime errors, which medianNoopWrite swallows into its
+    // `ok` flag — dropping the flag would let an error's near-instant
+    // duration masquerade as a fast measurement (Bench checks it too).
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = stressQueries.filter(only).flatMap { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
-      try Some(name -> Timing.medianNoopWrite(name, fn, spark, work, timingReps)._1)
-      catch {
+      try {
+        val (sec, ok) = Timing.medianNoopWrite(name, fn, spark, work, timingReps)
+        if (ok) Some(name -> sec) else { failed += name; None }
+      } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"$name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           failed += name

@@ -301,6 +301,62 @@ object Text {
       .select(col(idCol), col("rank"), col("term"), round(col("score"), 6).as("score"))
   }
 
+  /** CCNet-style language-model quality score: a bigram LM with
+    * add-one (Laplace) smoothing estimated on a REFERENCE corpus
+    * scores every target document by its mean negative
+    * log-probability per bigram position (≈ log-perplexity) — the
+    * standard "does this look like the reference distribution" filter
+    * for pretraining data (CCNet trains KenLM on Wikipedia; the
+    * bigram LM is the same filter shape with a closed-form,
+    * oracle-reproducible estimator).
+    *
+    * Model: P(w₂ | w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V + 1), where
+    * c(w₁·) is the bigram-context marginal and V the reference
+    * unigram vocabulary size (+1 = the unseen-token class). Unseen
+    * bigrams and unseen contexts degrade gracefully toward the
+    * uniform floor 1/(V+1). Docs with fewer than 2 tokens have no
+    * bigram positions and produce no row.
+    *
+    * Output: (id, n_bg, n_hit, nll) — bigram positions, positions
+    * whose bigram occurs in the reference (exact integers), and the
+    * mean negative log-prob rounded to 6 dp (the accumulation-order
+    * rounding recipe [[tfidfTopTerms]] uses).
+    *
+    * Scale shape: the reference corpus is fixed-size by construction
+    * (a curated seed — the q_decontaminate eval-set class), so both
+    * LM tables (bigram counts, context marginals) and the 1-row vocab
+    * aggregate are broadcast dims; the target corpus streams through
+    * broadcast hash joins with NO shuffle, and the per-doc aggregate
+    * partial-combines map-side (an exploded doc's bigrams are
+    * partition-local), so the only exchange carries one row per doc. */
+  def lmScore(ref: DataFrame, docs: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    val refBg = ref
+      .select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    // context marginal derived from the bigram table itself (NOT raw
+    // token counts: each doc's last token opens no bigram position)
+    val refCtx = refBg
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum("c_bg").as("c_ctx"))
+    val vocab = ref
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).cast("double").as("v"))
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(refBg), Seq("bg"), "left")
+      .join(broadcast(refCtx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_nll", -log(
+        (coalesce(col("c_bg"), lit(0L)).cast("double") + 1d) /
+          (coalesce(col("c_ctx"), lit(0L)).cast("double") + col("v") + 1d)))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bg"),
+        sum(when(col("c_bg").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        round(avg(col("_nll")), 6).as("nll"))
+  }
+
   /** PII redaction for training corpora: emails, North-American phone
     * numbers, SSNs, and IPv4 addresses each replaced by a typed tag
     * (`[EMAIL]`, `[PHONE]`, …). Patterns are deliberately conservative

@@ -429,6 +429,23 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === ref("the quick brown fox"))
   }
 
+  test("Text.lmScore: add-one bigram LM, hand-computed probabilities") {
+    import graft.functions.Text
+    // ref "a b a b c": V = 3, bigrams (a b)→2 (b a)→1 (b c)→1,
+    // contexts a→2 b→2; smoothing denominator offset V+1 = 4
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (10L, "a b x"),   // (a b): (2+1)/(2+4)=1/2; (b x): (0+1)/(2+4)=1/6
+      (11L, "z"),       // <2 tokens: no bigram positions, no row
+      (12L, "z z")      // unseen context: uniform floor (0+1)/(0+4)=1/4
+    ).toDF("doc_id", "text")
+    val got = Text.lmScore(ref, tgt, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(11L))
+    assert(got(10L) === ((10L, 2L, 1L, 1.242453)))  // (ln2 + ln6)/2, 6 dp
+    assert(got(12L) === ((12L, 1L, 0L, 1.386294)))  // ln4, 6 dp
+  }
+
   test("Text.qualityFeatures: regex stopword count ≡ token-filter form on edge cases") {
     import graft.functions.Text
     val docs = Seq(
