@@ -582,6 +582,16 @@ object SparkEntry {
         .orderBy("l_returnflag", "lid")
     }),
 
+    // Sampling: deterministic training-order shuffle — 8 shards with
+    // dense in-shard positions, all pure functions of (id, salt);
+    // per-shard windows, never a global sort
+    "q_shuffle_order" -> ((s, dir) => {
+      Sampling.shuffleOrder(t(s, dir, "documents"), "doc_id",
+        numShards = 8, salt = 1L)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     // Snapshot diff (CDC without a change log): two deterministic
     // snapshots of orders — %7 keys deleted, %5 keys late-arriving,
     // %3 prices drifted — reconciled into added/removed/changed
@@ -1502,6 +1512,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text 12: per-source domain-shift diagnostic — KL divergence of
+    // each source's token distribution from the corpus mix; counts
+    // exact, kl 6-dp (accumulation-order recipe)
+    "q_domain_shift" -> ((s, dir) => {
+      Text.domainShift(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     // Text 8: PII redaction — emails/SSNs/phones/IPv4 replaced by typed
     // tags. The corpus is synthetic word-soup, so the oracle here
     // asserts NO false positives (output ≡ input, verified by md5);
@@ -2196,6 +2214,19 @@ object SparkEntry {
         |  FROM l)
         |SELECT l_returnflag, lid FROM r WHERE rk <= 100
         |ORDER BY l_returnflag, lid""".stripMargin,
+
+    // mirrors Sampling.shuffleOrder: same multiplicative-hash rank key
+    // over id+salt (salt=1), shard = key mod 8, dense per-shard
+    // positions with (key, id) tie-break
+    "q_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (((doc_id + 1) % 1000000007) * 2654435761) % 1000000007 AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |    ORDER BY key, doc_id) AS INT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH oldsnap AS (
@@ -3310,6 +3341,30 @@ object SparkEntry {
         |    (CAST(COALESCE(c_bg, 0) AS DOUBLE) + 1) /
         |    (CAST(COALESCE(c_ctx, 0) AS DOUBLE) + v + 1))), 6) AS nll
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Text.domainShift: KL(p_source ‖ p_corpus) over the token
+    // distribution, counts from the same aggregated tables, 6-dp sum
+    "q_domain_shift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |gt AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_g
+        |  FROM toks GROUP BY source, tok),
+        |corpus AS (SELECT tok, CAST(SUM(c_g) AS BIGINT) AS c FROM gt GROUP BY tok),
+        |gtot AS (SELECT source, CAST(SUM(c_g) AS BIGINT) AS n_g FROM gt GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c_g) AS BIGINT) AS n FROM gt)
+        |SELECT gt.source,
+        |  CAST(MAX(n_g) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  ROUND(SUM(
+        |    (CAST(c_g AS DOUBLE) / CAST(n_g AS DOUBLE)) *
+        |    ln((CAST(c_g AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(c AS DOUBLE) * CAST(n_g AS DOUBLE)))), 6) AS kl
+        |FROM gt
+        |JOIN corpus USING (tok)
+        |JOIN gtot USING (source)
+        |CROSS JOIN tot
+        |GROUP BY gt.source ORDER BY gt.source""".stripMargin,
 
     // same four patterns as Text.redactPii, RE2-compatible, 'g' flag =
     // Spark's replace-all default; md5 compares the full redacted text

@@ -83,7 +83,12 @@ object StressSmoke {
     // round-7 additions: the bench's heaviest query (incremental
     // near-dup ledger), both as-of directions' heavier sibling, the
     // bucketed range join, and the de-broadcast-hinted OLS join
-    "q_dedup_minhash_inc", "q_asof_join", "q_range_join", "q_a7_ols")
+    "q_dedup_minhash_inc", "q_asof_join", "q_range_join", "q_a7_ols",
+    // round-10 additions: the LM quality filter (reference slice stays
+    // 1x-sized by design — the fixed-seed-corpus shape — while the
+    // scored target side replicates), the training-order shuffle, and
+    // the per-source KL domain-shift diagnostic
+    "q_lm_score", "q_shuffle_order", "q_domain_shift")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -357,6 +357,42 @@ object Text {
         round(avg(col("_nll")), 6).as("nll"))
   }
 
+  /** Per-group domain-shift metric: KL divergence of each group's
+    * token distribution from the whole corpus's —
+    * KL(p_g ‖ p) = Σ_t p_g(t)·ln(p_g(t)/p(t)) — the standard
+    * "how far does this source/shard drift from the mix" diagnostic
+    * when balancing a pretraining mixture. No smoothing needed: every
+    * group token is a corpus token by construction, so p(t) > 0
+    * wherever p_g(t) > 0.
+    *
+    * Output: (group, n_tok, n_vocab, kl) — token and distinct-token
+    * counts exact, kl rounded 6 dp (the accumulation-order recipe).
+    *
+    * Scale shape: one explode→partial-agg keyed (group, token); corpus
+    * counts re-aggregate THOSE rows (vocab-sized, not the token
+    * stream); the join is token-keyed between two aggregated tables
+    * and the final per-group reduce partial-combines. The token stream
+    * is never shuffled twice. */
+  def domainShift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c_g"))
+    val corpus = gt.groupBy("tok").agg(sum("c_g").as("c"))
+    val gTot = gt.groupBy(col(groupCol)).agg(sum("c_g").as("n_g"))
+    val n = gt.agg(sum("c_g").as("n"))
+    gt.join(corpus, Seq("tok"))
+      .join(gTot, Seq(groupCol))
+      .crossJoin(broadcast(n))
+      .withColumn("_term",
+        (col("c_g").cast("double") / col("n_g").cast("double")) *
+          log((col("c_g").cast("double") * col("n").cast("double")) /
+            (col("c").cast("double") * col("n_g").cast("double"))))
+      .groupBy(col(groupCol)).agg(
+        max(col("n_g")).as("n_tok"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(col("_term")), 6).as("kl"))
+  }
+
   /** PII redaction for training corpora: emails, North-American phone
     * numbers, SSNs, and IPv4 addresses each replaced by a typed tag
     * (`[EMAIL]`, `[PHONE]`, …). Patterns are deliberately conservative

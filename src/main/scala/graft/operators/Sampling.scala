@@ -55,6 +55,34 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic global training-order shuffle: permute the corpus
+    * into `numShards` shards with a dense position inside each — the
+    * "shuffle before packing / epoch streaming" pass of a pretraining
+    * pipeline. Rank key = the [[exactNPerGroup]] multiplicative-hash
+    * recipe over `id + salt` (a different salt permutes differently —
+    * one call per epoch); shard = key mod numShards; pos = row_number
+    * within the shard ordered by (key, id).
+    *
+    * Scale shape: the naive `ORDER BY hash(id)` is a GLOBAL sort — the
+    * corpus funnels through one range partitioner. Sharding first
+    * keeps every window per-shard (parallel by construction, shard
+    * size ≈ n/numShards), and (shard, pos) is a total iteration order
+    * consumers stream shard-major. Assignment and order are pure
+    * functions of (id, salt): stable across runs, engines, and
+    * partitionings, and ANSI-SQL-reproducible for the oracle. */
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int,
+                   salt: Long = 0L): DataFrame = {
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    val p = 1000000007L
+    val key = pmod(pmod(col(idCol) + lit(salt), lit(p)) * lit(2654435761L), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", key)
+      .withColumn("shard", pmod(col("_key"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_key")
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (0..999999, a pure function of the id) falls under the stratum's
     * rate — downsample over-represented strata (the classic

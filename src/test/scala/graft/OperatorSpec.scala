@@ -429,6 +429,28 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql === ref("the quick brown fox"))
   }
 
+  test("Text.domainShift: KL zero on corpus-identical groups, hand-computed drift") {
+    import graft.functions.Text
+    // identical per-group distributions → KL exactly 0 for both
+    val same = Seq((1L, "s1", "a b"), (2L, "s2", "a b")).toDF("id", "source", "text")
+    val z = Text.domainShift(same, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(z("s1") === (("s1", 2L, 2L, 0.0)))
+    assert(z("s2") === (("s2", 2L, 2L, 0.0)))
+    // drifted: corpus = {a:2, b:2, c:1}, n = 5
+    val df = Seq((1L, "s1", "a a b"), (2L, "s2", "b c")).toDF("id", "source", "text")
+    val got = Text.domainShift(df, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl1 = r6(2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5))
+      + 1.0 / 3 * math.log((1.0 / 3) / (2.0 / 5)))
+    val kl2 = r6(1.0 / 2 * math.log((1.0 / 2) / (2.0 / 5))
+      + 1.0 / 2 * math.log((1.0 / 2) / (1.0 / 5)))
+    assert(got("s1") === (("s1", 3L, 2L, kl1)))
+    assert(got("s2") === (("s2", 2L, 2L, kl2)))
+    assert(kl1 > 0 && kl2 > 0)
+  }
+
   test("Text.lmScore: add-one bigram LM, hand-computed probabilities") {
     import graft.functions.Text
     // ref "a b a b c": V = 3, bigrams (a b)→2 (b a)→1 (b c)→1,
@@ -641,6 +663,31 @@ class OperatorSpec extends SparkSpec {
     val m = Sampling.byModulo(df, "id", cuts).groupBy("split").count()
       .as[(String, Long)].collect().toMap
     assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
+  }
+
+  test("Sampling.shuffleOrder: permutation, dense shard positions, partitioning-stable") {
+    val df = (1L to 1000L).toDF("id")
+    val s = Sampling.shuffleOrder(df, "id", numShards = 8, salt = 1L)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // a permutation: every id exactly once, shards cover 0..7
+    assert(s.map(_._1).sorted.toSeq === (1L to 1000L))
+    assert(s.map(_._2).toSet === (0 to 7).toSet)
+    // positions are dense 1..|shard| within every shard
+    s.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // pure function of (id, salt): identical under any partitioning
+    val s2 = Sampling.shuffleOrder(df.repartition(13), "id", 8, salt = 1L)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(s.sortBy(_._1).toSeq === s2.sortBy(_._1).toSeq)
+    // a different salt is a different permutation (epoch reshuffle)
+    val s3 = Sampling.shuffleOrder(df, "id", 8, salt = 2L)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(s.sortBy(_._1).toSeq !== s3.sortBy(_._1).toSeq)
+    // not an identity-ish order: within a shard, consecutive positions
+    // are not consecutive ids (spot-check the first shard's head)
+    val head = s.filter(_._2 == 0).sortBy(_._3).take(10).map(_._1)
+    assert(head.sliding(2).exists(p => (p(1) - p(0)).abs != 8))
   }
 
   test("Sampling.stratified: deterministic, rate-accurate, nested across rates") {

@@ -171,11 +171,12 @@ class PlanSpec extends SparkSpec {
     // itself is an equi-join on the cell id.
     // q_tpch_q22's / q_tpch_q11's nested-loop is a ONE-row broadcast
     // (the scalar avg-balance / total-value threshold): O(N·1) — a
-    // broadcast scalar, not a join. q_lm_score's is the same class:
-    // the 1-row reference-vocabulary aggregate (V) riding every target
-    // bigram row as a broadcast scalar.
+    // broadcast scalar, not a join. q_lm_score (1-row reference-vocab
+    // aggregate V) and q_domain_shift (1-row corpus token total) are
+    // the same class: a broadcast scalar riding every row.
     val boundedBroadcastByDesign =
-      Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11", "q_lm_score")
+      Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11", "q_lm_score",
+        "q_domain_shift")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)
