@@ -368,11 +368,17 @@ object Text {
     * Output: (group, n_tok, n_vocab, kl) — token and distinct-token
     * counts exact, kl rounded 6 dp (the accumulation-order recipe).
     *
-    * Scale shape: one explode→partial-agg keyed (group, token); corpus
-    * counts re-aggregate THOSE rows (vocab-sized, not the token
-    * stream); the join is token-keyed between two aggregated tables
-    * and the final per-group reduce partial-combines. The token stream
-    * is never shuffled twice. */
+    * Scale shape: every branch starts from the explode→partial-agg
+    * keyed (group, token), so each shuffle carries VOCAB-sized
+    * aggregated rows, never the raw token stream; the joins are
+    * token-/group-keyed between aggregated tables and the final
+    * per-group reduce partial-combines. Honest caveat (PlanProbe'd):
+    * the four consumers of that aggregate prune different columns, so
+    * Spark re-runs the scan+explode per branch where AQE's stage
+    * reuse misses (2 of 4 reused at sf0.1; measured 2.4/100 at the
+    * 100× probe — linear recompute, not a shuffle blow-up). On a real
+    * cluster pass, `persist()` the (group, token) aggregate before
+    * fan-out to make it one scan. */
   def domainShift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val gt = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
