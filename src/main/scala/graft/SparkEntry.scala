@@ -1602,6 +1602,21 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Multimodal: IMAGE near-dup — real PNG encode → real ImageIO
+    // decode → 64-bit average-hash → Hamming-band pair join. Pattern
+    // images make the perceptual hash arithmetically predictable, so
+    // the whole pixel pipeline runs under the full oracle: groups of
+    // 4 ids share a base pattern with 0/1/2/3 disjoint planted bit
+    // flips → pairwise distances m1+m2, kept iff ≤ 3
+    "q_mm_neardup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id")
+      Dedup.hammingPairs64(
+        Multimodal.imageHashes(Multimodal.patternMedia(ids, "doc_id")),
+        "media_id", "ahash", maxHamming = 3, outA = "id_a", outB = "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Deterministic train/val/test split (stable across runs/partitioning)
     "q_split" -> ((s, dir) => {
       Sampling.byModulo(t(s, dir, "documents"), "doc_id",
@@ -3504,6 +3519,44 @@ object SparkEntry {
         |  CAST((len * (i + 1)) // 4 - (len * i) // 4 AS INT) AS frame_len
         |FROM d CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors Multimodal.patternOf + aHash64 round trip: the pattern
+    // bits are pure integer arithmetic (DetHash affine recipe over the
+    // group id) packed into 32-bit lo/hi halves; member m of each
+    // 4-id group XORs m disjoint planted bits. 200 ids → all-pairs
+    // Hamming ≤ 3 is equivalent to the engine's pigeonhole band join
+    // (banding guarantees every ≤-maxHamming pair shares a band).
+    "q_mm_neardup" -> {
+      def bit(k: Int) =
+        s"(CASE WHEN (s * ${7919L * k + 7L} + ${104729L * k + 9973L})" +
+          s" % 2147483647 >= 1073741824 THEN 1 ELSE 0 END)"
+      val lo = (0 until 32).map(k => s"${bit(k)} * ${1L << k}").mkString(" + ")
+      val hi = (32 until 64).map(k => s"${bit(k)} * ${1L << (k - 32)}").mkString(" + ")
+      s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, doc_id % 4 AS m,
+        |  (((doc_id // 4) % 2147483647) * ((doc_id // 4) % 2147483647)
+        |    % 2147483647 * 2654435761
+        |    + ((doc_id // 4) % 2147483647) * 40503) % 2147483647 AS s
+        |  FROM ids),
+        |pk AS (
+        |  SELECT doc_id, m,
+        |    CAST($lo AS BIGINT) AS lo0,
+        |    CAST($hi AS BIGINT) AS hi0
+        |  FROM b),
+        |pf AS (
+        |  SELECT doc_id,
+        |    xor(lo0, CASE m WHEN 1 THEN ${1L << 5}
+        |      WHEN 2 THEN ${(1L << 13) | (1L << 21)}
+        |      WHEN 3 THEN ${1L << 29} ELSE 0 END) AS lo,
+        |    xor(hi0, CASE m WHEN 3 THEN ${(1L << (37 - 32)) | (1L << (45 - 32))}
+        |      ELSE 0 END) AS hi
+        |  FROM pk)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS INT) AS hamming
+        |FROM pf a JOIN pf c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_split" ->
       """WITH s AS (

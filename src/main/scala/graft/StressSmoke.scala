@@ -88,7 +88,7 @@ object StressSmoke {
     // 1x-sized by design — the fixed-seed-corpus shape — while the
     // scored target side replicates), the training-order shuffle, and
     // the per-source KL domain-shift diagnostic
-    "q_lm_score", "q_shuffle_order", "q_domain_shift")
+    "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -149,6 +149,20 @@ object StressSmoke {
         ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)
         .select("doc_id").orderBy("doc_id")
     }),
+    // the canonical 200-id slice is fixed for the oracle; the probe
+    // replicates it into every replica via pmod (OFF % 4 == 0 keeps
+    // the planted 4-id groups aligned) — N replicas × 200 images, the
+    // linear dimension an image-dedup pass scales on
+    "q_mm_neardup" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(OFF)) < 200).select("doc_id")
+      Dedup.hammingPairs64(
+        graft.operators.Multimodal.imageHashes(
+          graft.operators.Multimodal.patternMedia(ids, "doc_id")),
+        "media_id", "ahash", maxHamming = 3, outA = "id_a", outB = "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_scd2" -> ((s, dir) => {
       val e = Tables.withEpochSeconds(Tables(s, dir, "events"))
         .select("user_id", "event_id", "event_type", "s")

@@ -624,27 +624,43 @@ object Dedup {
     case XxHash64 => simhashXx(docs, idCol, textCol, maxHamming)
   }
 
-  /** xxhash64 arm of [[simhashPairs]]. */
-  private def simhashXx(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int): DataFrame = {
+  /** 64-bit Hamming near-dup pairs over ANY precomputed signature
+    * column — text SimHash signatures, image average-hashes
+    * ([[Multimodal.imageHashes]]), audio fingerprints: pigeonhole
+    * banding into (maxHamming+1) bands of 64/(maxHamming+1) bits (any
+    * pair within maxHamming differing bits agrees EXACTLY on ≥ 1
+    * band), an equi-join on the band key, then an exact `bit_count`
+    * verify. Never enumerates all pairs: candidates ∝ band-bucket
+    * occupancy, the property every near-dup path in this file shares. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int,
+                     outA: String = "doc_a", outB: String = "doc_b"): DataFrame = {
     val nBands = maxHamming + 1
+    require(maxHamming >= 1 && 64 % nBands == 0,
+      s"maxHamming+1 must divide 64 (maxHamming >= 1), got $nBands")
     val bandBits = 64 / nBands
-    val sigs = docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
+    val banded = sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          col("sig").bitwiseAND(
+          col(sigCol).bitwiseAND(
             lit(((1L << bandBits) - 1) << (b * bandBits))).as("bkey"))
       }: _*)).as("bk"))
-    val popcnt = (x: org.apache.spark.sql.Column) => bit_count(x)
-    banded.select(col("doc").as("doc_a"), col("sig").as("sig_a"), col("bk"))
-      .join(banded.select(col("doc").as("doc_b"), col("sig").as("sig_b"), col("bk")), Seq("bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        popcnt(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    banded.select(col("_id").as(outA), col("_sig").as("sig_a"), col("bk"))
+      .join(banded.select(col("_id").as(outB), col("_sig").as("sig_b"), col("bk")), Seq("bk"))
+      .filter(col(outA) < col(outB))
+      .select(col(outA), col(outB),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** xxhash64 arm of [[simhashPairs]]: fused signature expression +
+    * the shared [[hammingPairs64]] banding. */
+  private def simhashXx(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int): DataFrame =
+    hammingPairs64(
+      docs.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig")),
+      "doc", "sig", maxHamming)
 
   /** [[DetHash]] arm of [[simhashPairs]]: per token, the transparent
     * RollingFp fold mod 2³¹−1 rehashed through 64 affine families

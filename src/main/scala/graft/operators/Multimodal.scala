@@ -146,6 +146,142 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 64-bit average-hash (aHash) of an image payload — the classic
+    * perceptual fingerprint: decode, reduce to an 8×8 grid by
+    * block-averaging luminance ((r+g+b)/3, exact integer sums — no
+    * Graphics2D rescale, whose interpolation is implementation-
+    * defined), then threshold each cell STRICTLY ABOVE the grid mean.
+    * Bit k (row-major cell k) set ⇔ cell k brighter than the mean.
+    * Perceptual property: scaling/re-encoding an image preserves the
+    * hash (asserted by spec through the real resize path); near-dup
+    * images land within a few bits — pair them with
+    * [[Dedup.hammingPairs64]]. Non-image payloads (and unreadable
+    * images) fall back to a deterministic byte fold — stub-grade like
+    * [[decodeStub]], collision-prone only where no pixels exist. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val img =
+      if (isPng(payload) || isJpeg(payload))
+        javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      else null
+    if (img == null) {
+      var f = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { f = f * 31 + (payload(i) & 0xff); i += 1 }
+      f
+    } else {
+      val w = img.getWidth; val h = img.getHeight
+      val cells = new Array[Double](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          // cell (cx, cy) covers pixel rows [cy*h/8, (cy+1)*h/8) etc. —
+          // exact partition of the image for any w, h ≥ 8
+          val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = if (n == 0) 0d else sum.toDouble / (3d * n)
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64d
+      var hash = 0L; var k = 0
+      while (k < 64) { if (cells(k) > mean) hash |= (1L << k); k += 1 }
+      hash
+    }
+  }
+
+  /** Deterministic 64-bit cell pattern for an id: groups of 4 ids
+    * share a base pattern, and member m = id mod 4 flips m DISJOINT
+    * planted bits, so pairwise Hamming distances inside a group are
+    * exactly m₁+m₂: (0,1)=1 (0,2)=2 (0,3)=3 (1,2)=3 in, (1,3)=4
+    * (2,3)=5 out at maxHamming=3 — a planted structure with both kept
+    * and rejected pairs. Base bits come from the SimHash-style affine
+    * FAMILY (bit k thresholds s·(7919k+7) + 104729k + 9973 mod P)
+    * over a quadratically mixed group seed s = (g²·c₁ + g·c₂) mod P —
+    * both nonlinearities are load-bearing: a single shared multiplier
+    * in either g or k leaves Weyl-sequence structure (three-distance
+    * theorem) that makes unrelated groups collide at Hamming ≤ 3.
+    * Pure integer arithmetic, reproduced bit-exactly by the SQL
+    * oracle. Group 0 (s = 0) is the documented degenerate case: an
+    * all-black image, whose aHash is still exact. */
+  def patternOf(id: Long): Long = {
+    val gid = id / 4
+    val gp = gid % 2147483647L
+    val s = (gp * gp % 2147483647L * 2654435761L + gp * 40503L) % 2147483647L
+    var pat = 0L
+    var k = 0
+    while (k < 64) {
+      if ((s * (7919L * k + 7L) + 104729L * k + 9973L) % 2147483647L >= 1073741824L)
+        pat |= (1L << k)
+      k += 1
+    }
+    pat ^ patternMasks((id % 4).toInt)
+  }
+
+  /** Disjoint planted-flip masks for group members 0..3. */
+  val patternMasks: Array[Long] = Array(
+    0L, 1L << 5, (1L << 13) | (1L << 21), (1L << 29) | (1L << 37) | (1L << 45))
+
+  /** Render a 64-bit pattern as a REAL 64×64 PNG: cell k (8×8 px,
+    * row-major) white iff bit k set. [[aHash64]] recovers the pattern
+    * bit-exactly (white cells sit above the grid mean, black below,
+    * for any non-degenerate popcount), which is what lets a SQL
+    * oracle verify a real encode→decode→hash pipeline by arithmetic
+    * alone. */
+  def patternPng(pat: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val k = (y / 8) * 8 + (x / 8)
+        img.setRGB(x, y, if ((pat & (1L << k)) != 0) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of [[patternPng]] payloads for each id — encode runs
+    * partition-parallel, like [[syntheticPngMedia]]. */
+  def patternMedia(ids: DataFrame, idCol: String): DataFrame = {
+    implicit val enc = Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = patternPng(patternOf(id))
+        Row(id, bytes, "image/png", Row("pattern", bytes.length.toLong))
+      }
+    }
+  }
+
+  /** (media_id, ahash) via partition-batched REAL decode — the only
+    * shuffle-bound rows are 16 bytes each; the binary payloads never
+    * move. Feed [[Dedup.hammingPairs64]] for image near-dup pairs. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map(r => (r.getLong(0), aHash64(r.getAs[Array[Byte]](1))))
+      }.toDF("media_id", "ahash")
+  }
+
   /** Build a media table of real PNG payloads whose dimensions are a
     * pure function of the id — (widthOf, heightOf) — so a SQL oracle
     * can verify the decoded dimensions without decoding. Encode runs

@@ -665,6 +665,34 @@ class OperatorSpec extends SparkSpec {
     assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("image near-dup end-to-end: planted group distances through real pixels") {
+    // one group of 4 pattern images: member m flips m disjoint bits,
+    // so kept pairs at maxHamming=3 are exactly (0,1)=1 (0,2)=2
+    // (0,3)=3 (1,2)=3; (1,3)=4 and (2,3)=5 must be rejected
+    val ids = (40L to 43L).toDF("doc_id")
+    val pairs = Dedup.hammingPairs64(
+      Multimodal.imageHashes(Multimodal.patternMedia(ids, "doc_id")),
+      "media_id", "ahash", maxHamming = 3, outA = "id_a", outB = "id_b")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((40L, 41L, 1), (40L, 42L, 2), (40L, 43L, 3), (41L, 42L, 3)))
+    // every id round-trips the real encode→decode→hash path
+    (40L to 43L).foreach { id =>
+      assert(Multimodal.aHash64(Multimodal.patternPng(Multimodal.patternOf(id)))
+        === Multimodal.patternOf(id))
+    }
+  }
+
+  test("Multimodal.aHash64 recovers patternPng bit-exactly; survives real resize") {
+    val pats = Seq(0x0123456789abcdefL, -1L >>> 1, java.lang.Long.MIN_VALUE | 5L,
+      1L << 5, ~(1L << 63) ^ 0xff00ff00ff00ffL, Multimodal.patternOf(42L))
+    for (p <- pats) {
+      assert(Multimodal.aHash64(Multimodal.patternPng(p)) === p, s"pat=$p")
+      // perceptual property: the hash survives a REAL bilinear resize
+      assert(Multimodal.aHash64(
+        Multimodal.resize(Multimodal.patternPng(p), 32, 32)) === p, s"resized pat=$p")
+    }
+  }
+
   test("Sampling.shuffleOrder: permutation, dense shard positions, partitioning-stable") {
     val df = (1L to 1000L).toDF("id")
     val s = Sampling.shuffleOrder(df, "id", numShards = 8, salt = 1L)
