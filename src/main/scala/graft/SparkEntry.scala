@@ -1252,6 +1252,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup 2a': n-gram CONTAINMENT — the asymmetric excerpt detector
+    // (|A∩B| / min size): a short doc quoted inside a long one scores
+    // ≈1 where Jaccard stays tiny. Same inverted index + hot-shingle
+    // cap as q_dedup_jaccard.
+    "q_dedup_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3, threshold = 0.6, maxBucket = 100)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup 2b: pairwise matches → transitive clusters (connected components)
     "q_dedup_cluster" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
@@ -3033,6 +3044,17 @@ object SparkEntry {
         |JOIN sz ca ON ca.doc_id = doc_a
         |JOIN sz cb ON cb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same shingle index; the min-size normalizer instead of the union
+    "q_dedup_containment" ->
+      s"""WITH $jaccardShingleCtes
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / CAST(least(ca.c, cb.c) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN sz ca ON ca.doc_id = doc_a
+        |JOIN sz cb ON cb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / CAST(least(ca.c, cb.c) AS DOUBLE) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors the DetHash arm of bucketedTopK: det-hyperplane keys on

@@ -88,7 +88,8 @@ object StressSmoke {
     // 1x-sized by design — the fixed-seed-corpus shape — while the
     // scored target side replicates), the training-order shuffle, and
     // the per-source KL domain-shift diagnostic
-    "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup")
+    "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup",
+    "q_dedup_containment")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -258,6 +258,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥
+    * threshold — the asymmetric near-dup Jaccard structurally misses:
+    * a short doc quoted whole inside a long one has tiny Jaccard
+    * (union is dominated by the long doc) but containment ≈ 1. The
+    * standard excerpt/quotation detector next to [[ngramJaccardPairs]]
+    * in a dedup pass. Same inverted-index equi-join shape and
+    * hot-shingle cap — candidates ∝ shingle-bucket occupancy, never
+    * all pairs. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            w: Int, threshold: Double,
+                            maxBucket: Int = 0): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, w, maxBucket)
+    val sizes = idx.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val a = idx.toDF("doc_a", "sh")
+    val b = idx.toDF("doc_b", "sh")
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** MinHash+LSH near-dup: `numHashes` minhashes in `bands` bands; docs
     * agreeing on any whole band become candidates; candidates are then
     * verified with exact Jaccard ≥ threshold (so LSH only affects

@@ -665,6 +665,22 @@ class OperatorSpec extends SparkSpec {
     assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("Dedup.ngramContainmentPairs: excerpt scores 1.0 where Jaccard stays low") {
+    // B quotes A whole: A's 3 shingles ⊂ B's 6 → containment 1.0,
+    // Jaccard only 0.5 — the asymmetry the operator exists for
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      w = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
   test("image near-dup end-to-end: planted group distances through real pixels") {
     // one group of 4 pattern images: member m flips m disjoint bits,
     // so kept pairs at maxHamming=3 are exactly (0,1)=1 (0,2)=2
