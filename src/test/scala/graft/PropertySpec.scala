@@ -47,6 +47,32 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("hammingPairs64 banding finds EXACTLY the brute-force pair set") {
+    // the pigeonhole guarantee (any pair within maxHamming bits agrees
+    // on >= 1 band) is load-bearing for SimHash AND image near-dup;
+    // verify against brute force on adversarial-ish random sets: half
+    // the sigs are small perturbations of shared bases, so the <=
+    // threshold boundary is heavily exercised
+    cases(4)((List.fill(8)(rnd.nextLong()), List.fill(24)(rnd.nextInt(64)))) {
+      case (bases, flips) =>
+        val sigs = bases.zipWithIndex.flatMap { case (b, i) =>
+          val f = flips.drop(i * 3).take(3)
+          Seq(b, b ^ f.map(1L << _).reduce(_ | _), b ^ (1L << f.head))
+        }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        val df = sigs.toDF("id", "sig")
+        for (maxH <- Seq(1, 3, 7)) {
+          val got = graft.operators.Dedup
+            .hammingPairs64(df, "id", "sig", maxH, outA = "a", outB = "b")
+            .as[(Long, Long, Int)].collect().toSet
+          val want = (for {
+            (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+            h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+          } yield (ia, ib, h)).toSet
+          assert(got === want, s"maxHamming=$maxH")
+        }
+    }
+  }
+
   test("A6 gravity row-normalization rows sum to 1 for any positive masses") {
     cases(3)(List.fill(6)(1L + rnd.nextInt(1000).toLong)) { masses =>
       val zones = masses.zipWithIndex.map { case (m, i) => (i, m) }.toDF("z", "m")
