@@ -1330,6 +1330,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup 1f: SEMANTIC decontamination — corpus embeddings within
+    // cosine 0.30 of any eval vector (vec_id < 40 stands in for the
+    // held-out set: the SMALL side, broadcast at every SF). The
+    // embedding-space complement of q_decontaminate's n-gram screen.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(
+        e.filter(col("vec_id") >= 40 && col("vec_id") < 500),
+        e.filter(col("vec_id") < 40),
+        "vec_id", "embedding", dim = 64, threshold = 0.30,
+        bits = 4, tables = 8)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // Similarity 1: brute-force cosine top-k (exact baseline)
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2961,6 +2975,36 @@ object SparkEntry {
         |  FROM cand)
         |SELECT id_a, id_b, cos FROM scored
         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // mirrors Dedup.semanticDecontaminate's det arm: same hyperplane
+    // keys and strict-fold cosine, bipartite corpus × eval sides
+    "q_decontaminate_semantic" -> {
+      val keyExprs = detKeyExprsSql("v")
+      def bandSelects(src: String, id: String) = (0 until 8).map { t =>
+        s"SELECT vec_id AS $id, v, $t AS band, k$t AS key FROM $src"
+      }.mkString("\n|  UNION ALL ")
+      val foldPair = detFoldPairSql _
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings
+        |  WHERE vec_id >= 40 AND vec_id < 500),
+        |ev AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 40),
+        |ck AS (SELECT vec_id, v, $keyExprs FROM c),
+        |ek AS (SELECT vec_id, v, $keyExprs FROM ev),
+        |cb AS (
+        |  ${bandSelects("ck", "corpus_id")}),
+        |eb AS (
+        |  ${bandSelects("ek", "eval_id")}),
+        |cand AS (
+        |  SELECT DISTINCT cb.corpus_id, eb.eval_id, cb.v AS vc, eb.v AS ve
+        |  FROM cb JOIN eb ON cb.band = eb.band AND cb.key = eb.key),
+        |scored AS (
+        |  SELECT corpus_id, eval_id,
+        |    ${foldPair("vc", "ve")} /
+        |      sqrt(${foldPair("vc", "vc")} * ${foldPair("ve", "ve")}) AS cos
+        |  FROM cand)
+        |SELECT corpus_id, eval_id, cos FROM scored
+        |WHERE cos >= 0.30 ORDER BY corpus_id, eval_id""".stripMargin
     },
 
     // mirrors the DetHash arm of simhashPairs constant-for-constant:

@@ -752,6 +752,49 @@ object Dedup {
     case XxHash64 => embeddingNearDupXx(embs, idCol, vecCol, dim, threshold, bits, tables)
   }
 
+  /** Semantic decontamination: corpus items whose EMBEDDING is close
+    * (cosine ≥ threshold) to any held-out/eval item — the
+    * embedding-space complement of [[benchmarkOverlap]]'s n-gram
+    * screen, catching paraphrases and near-translations that share no
+    * word-8-gram. Bipartite LSH: both sides key by the same
+    * hyperplane sign signatures, so only bucket collisions pay an
+    * exact cosine; precision stays 1 (LSH affects recall only).
+    *
+    * Scale shape: the eval set is tiny next to a 100 TB corpus, so
+    * its banded keys AND its vectors ride as broadcast dims; the
+    * corpus streams through the bucket equi-join with no shuffle
+    * except the ids-only candidate distinct. Output: one row per
+    * leaking (corpus, eval) pair with the verified cosine. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            dim: Int, threshold: Double,
+                            bits: Int = 4, tables: Int = 8,
+                            hash: HashFamily = DetHash): DataFrame = {
+    def banded(df: DataFrame, id: String) = hash match {
+      case DetHash => df.select(col(idCol).as(id),
+        posexplode(Vectors.detHyperplaneKeys(col(vecCol), dim, bits, tables))
+          .as(Seq("t", "key")))
+      case XxHash64 => df.select(col(idCol).as(id),
+        posexplode(Vectors.hyperplaneBuckets(col(vecCol), dim, bits, tables, seed = 1000))
+          .as(Seq("t", "key")))
+    }
+    val cosOf = hash match {
+      case DetHash => (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        Vectors.cosineFold(a, b, dim)
+      case XxHash64 => (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        Vectors.cosine(a, b)
+    }
+    val cand = banded(corpus, "corpus_id")
+      .join(broadcast(banded(evalSet, "eval_id")), Seq("t", "key"))
+      .select("corpus_id", "eval_id").distinct()
+    cand
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_vc")), "corpus_id")
+      .join(broadcast(evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("_ve"))), "eval_id")
+      .select(col("corpus_id"), col("eval_id"),
+        cosOf(col("_vc"), col("_ve")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** xxhash64 arm of [[embeddingNearDup]]. */
   private def embeddingNearDupXx(embs: DataFrame, idCol: String, vecCol: String,
                                  dim: Int, threshold: Double,

@@ -665,6 +665,23 @@ class OperatorSpec extends SparkSpec {
     assert(m === Map("train" -> 800L, "val" -> 100L, "test" -> 100L))
   }
 
+  test("Dedup.semanticDecontaminate: planted eval copy is always caught, bipartite only") {
+    // an exact copy of an eval vector shares EVERY bucket — recall 1
+    // by construction, cosine exactly 1.0; the negated vector (cos -1)
+    // and the orthogonal one must not leak through. Also bipartite:
+    // corpus-corpus duplicates (10, 13) must NOT pair with each other.
+    val unit = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val ortho = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val eval_ = Seq((0L, unit)).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, unit), (11L, ortho), (12L, unit.map(-_)), (13L, unit)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(corpus, eval_, "vec_id", "embedding",
+      dim = 8, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 0L, 1.0), (13L, 0L, 1.0)))
+  }
+
   test("Dedup.ngramContainmentPairs: excerpt scores 1.0 where Jaccard stays low") {
     // B quotes A whole: A's 3 shingles ⊂ B's 6 → containment 1.0,
     // Jaccard only 0.5 — the asymmetry the operator exists for
