@@ -89,7 +89,7 @@ object StressSmoke {
     // scored target side replicates), the training-order shuffle, and
     // the per-source KL domain-shift diagnostic
     "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup",
-    "q_dedup_containment")
+    "q_dedup_containment", "q_decontaminate_semantic")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -116,6 +116,21 @@ object StressSmoke {
         "vec_id", "embedding", dim = 64, threshold = 0.35,
         bits = 4, tables = 8, hash = XxHash64)
         .orderBy("id_a", "id_b")),
+    // eval side stays the replica-0 slice (held-out sets don't grow
+    // with the corpus); the corpus side replicates via pmod — replica
+    // k>0 vectors are hash-uniform noise, so bucket occupancy (the
+    // candidate-generation work) scales linearly while true leaks stay
+    // 1×-sized, exactly the 100 TB shape
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val rid = pmod(col("vec_id"), lit(OFF))
+      Dedup.semanticDecontaminate(
+        e.filter(rid >= 40 && rid < 500),
+        e.filter(col("vec_id") < 40),
+        "vec_id", "embedding", dim = 64, threshold = 0.30,
+        bits = 4, tables = 8, hash = XxHash64)
+        .orderBy("corpus_id", "eval_id")
+    }),
     "q_sim_ann" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       Similarity.bucketedTopK(
