@@ -1344,6 +1344,18 @@ object SparkEntry {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Dedup 1g: SemDeDup-style semantic dedup end-to-end — embedding
+    // near-dup pairs → connected components → keep min-id per
+    // semantic cluster (plus all unclustered). Same pair threshold as
+    // q_dedup_embed so the cluster structure is oracle-reproducible.
+    "q_dedup_semantic_apply" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Dedup.applySemanticDedup(e.select("vec_id"), "vec_id",
+        e, "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 4, tables = 8)
+        .orderBy("vec_id")
+    }),
+
     // Similarity 1: brute-force cosine top-k (exact baseline)
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -3005,6 +3017,46 @@ object SparkEntry {
         |  FROM cand)
         |SELECT corpus_id, eval_id, cos FROM scored
         |WHERE cos >= 0.30 ORDER BY corpus_id, eval_id""".stripMargin
+    },
+
+    // q_dedup_embed's pair pipeline (same keys, folds, threshold)
+    // composed with q_dedup_cluster_apply's recursive-CTE component
+    // labeling: survivors = min-id per component + unclustered
+    "q_dedup_semantic_apply" -> {
+      val keyExprs = detKeyExprsSql("v")
+      val bandSelects = (0 until 8).map { t =>
+        s"SELECT vec_id, v, $t AS band, k$t AS key FROM keys"
+      }.mkString("\n|  UNION ALL ")
+      val foldPair = detFoldPairSql _
+      s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 500),
+        |keys AS (
+        |  SELECT vec_id, v,
+        |    $keyExprs
+        |  FROM e),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    x.v AS va, y.v AS vb
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        |  WHERE x.vec_id < y.vec_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE ${foldPair("va", "vb")} /
+        |      sqrt(${foldPair("va", "va")} * ${foldPair("vb", "vb")}) >= 0.35),
+        |ed AS (SELECT id_a AS s, id_b AS dd FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM ed
+        |  UNION
+        |  SELECT r.s, ed.dd FROM reach r JOIN ed ON r.dd = ed.s),
+        |dropped AS (
+        |  SELECT s AS node FROM reach GROUP BY s
+        |  HAVING LEAST(s, MIN(dd)) <> s)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id < 500 AND vec_id NOT IN (SELECT node FROM dropped)
+        |ORDER BY vec_id""".stripMargin
     },
 
     // mirrors the DetHash arm of simhashPairs constant-for-constant:

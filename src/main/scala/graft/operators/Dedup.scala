@@ -795,6 +795,26 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup END-TO-END: find embedding
+    * near-dup pairs ([[embeddingNearDup]]), cluster them
+    * ([[connectedComponents]]), keep each cluster's min-id
+    * representative plus every unclustered item — the one-call form a
+    * pretraining pipeline runs to drop semantically redundant
+    * documents (copies in other words: templated rewrites, boilerplate
+    * variants) that no lexical pass catches. `items` is the table to
+    * prune (any payload columns), `embs` the id→vector side; they
+    * join only on ids, so 100 TB of text never rides the near-dup
+    * shuffles — just the vectors, then an ids-only anti-join. */
+  def applySemanticDedup(items: DataFrame, idCol: String,
+                         embs: DataFrame, embIdCol: String, vecCol: String,
+                         dim: Int, threshold: Double,
+                         bits: Int = 4, tables: Int = 8,
+                         hash: HashFamily = DetHash): DataFrame = {
+    val pairs = embeddingNearDup(embs, embIdCol, vecCol, dim, threshold,
+      bits, tables, hash).select("id_a", "id_b")
+    applyNearDups(items, idCol, pairs, "id_a", "id_b")
+  }
+
   /** xxhash64 arm of [[embeddingNearDup]]. */
   private def embeddingNearDupXx(embs: DataFrame, idCol: String, vecCol: String,
                                  dim: Int, threshold: Double,

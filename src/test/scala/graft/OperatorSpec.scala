@@ -682,6 +682,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === Set((10L, 0L, 1.0), (13L, 0L, 1.0)))
   }
 
+  test("Dedup.applySemanticDedup: min-id survives per semantic cluster, payload intact") {
+    // cluster {2,5,9}: identical unit vectors (exact copies collide in
+    // every bucket) → only min id 2 survives; 7 is orthogonal to all →
+    // unclustered, survives; the anti-join must keep item payloads.
+    val unit = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val ortho = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val embs = Seq((5L, unit), (2L, unit), (9L, unit), (7L, ortho))
+      .toDF("vec_id", "embedding")
+    val items = Seq((2L, "a"), (5L, "b"), (7L, "c"), (9L, "d"))
+      .toDF("vec_id", "payload")
+    val got = Dedup.applySemanticDedup(items, "vec_id",
+      embs, "vec_id", "embedding", dim = 8, threshold = 0.9)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "a"), (7L, "c")))
+  }
+
   test("Dedup.ngramContainmentPairs: excerpt scores 1.0 where Jaccard stays low") {
     // B quotes A whole: A's 3 shingles ⊂ B's 6 → containment 1.0,
     // Jaccard only 0.5 — the asymmetry the operator exists for
