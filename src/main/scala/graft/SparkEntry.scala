@@ -631,6 +631,20 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Bucketed-layout fact–fact join: both sides pre-clustered on the
+    // order key at write time, so the sort-merge join plans with zero
+    // exchanges below it (PlanSpec asserts; the oracle checks values
+    // against the plain parquet layout — bucketing must not change one
+    // row)
+    "q_bucket_join" -> ((s, dir) => Bucketing.bucketedPriorityRevenue(s, dir)),
+
+    // Bucketed-layout aggregation on the cluster key: groupBy
+    // l_orderkey over the bucketed table runs scan-local, no shuffle
+    "q_bucket_rollup" -> ((s, dir) =>
+      Bucketing.bucketedOrderRollup(s, dir)
+        .withColumn("last_ship", to_date(col("last_ship")))
+        .orderBy("l_orderkey")),
+
     // TPC-H Q3 shape: 3-way join, filtered fact + broadcast dim, top-10
     "q_tpch_q3" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -2365,6 +2379,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the oracle runs on the plain parquet tables — bucketing is a
+    // layout choice, invisible in the result
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bucket_rollup" ->
+      s"""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  CAST(MAX(l_shipdate) AS DATE) AS last_ship
+         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -89,7 +89,11 @@ object StressSmoke {
     // scored target side replicates), the training-order shuffle, and
     // the per-source KL domain-shift diagnostic
     "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup",
-    "q_dedup_containment", "q_decontaminate_semantic")
+    "q_dedup_containment", "q_decontaminate_semantic",
+    // bucketed layout: the write is once-per-workdir (median-of-3
+    // absorbs the first-rep bucketing cost), after which the join and
+    // the bucket-key rollup must scale on a shuffle-free plan
+    "q_bucket_join", "q_bucket_rollup")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table layout: the storage-side answer to repeated shuffles.
+  *
+  * At 100 TB the dominant cost of a fact–fact join (lineitem ⋈ orders)
+  * or a high-cardinality aggregation is the shuffle — every run of
+  * every downstream query re-partitions the same data on the same key.
+  * Bucketing moves that shuffle to WRITE time, once: both tables are
+  * hash-clustered into the same number of buckets on the join key, so
+  * every later sort-merge join and bucket-key aggregation runs with
+  * ZERO exchanges (asserted in PlanSpec's bucketing tests, measured in
+  * the q_bucket_* stress entries). This is the single biggest lever
+  * for a pipeline that re-joins the same corpus daily.
+  *
+  * Design notes for the cluster path:
+  *  - `repartition(numBuckets, key)` before the write uses the same
+  *    Murmur3 hash as the bucket spec, so each task holds exactly one
+  *    bucket → one file per bucket. That keeps file counts flat (no
+  *    tasks × buckets explosion) and lets Spark keep the per-bucket
+  *    sort order usable by downstream merge joins.
+  *  - Tables are EXTERNAL (explicit `path`): the catalog entry is
+  *    session-local metadata, the parquet layout is the durable
+  *    artifact — exactly how an Iceberg/Hive warehouse would carry the
+  *    bucket spec between jobs.
+  *  - Re-bucketing is idempotent per (session, source dir): the write
+  *    happens once, every query after it is shuffle-free.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, per-bucket-sorted external parquet
+    * table, one file per bucket. Overwrites any previous layout at
+    * `path` (stale files from an earlier run must not leak into the
+    * new table's buckets). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    numBuckets: Int, key: String,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.repartition(numBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  /** Bucketed lineitem + orders, clustered on the order key — written
+    * once per (session, sfDir), then reused by every bucketed query.
+    * Returns the (lineitem, orders) catalog table names. */
+  def ensureTpchBuckets(spark: SparkSession, sfDir: String,
+                        buckets: Int = 8): (String, String) = synchronized {
+    val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+    val lt = s"graft_bkt_${tag}_lineitem"
+    val ot = s"graft_bkt_${tag}_orders"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
+    if (!spark.catalog.tableExists(lt))
+      writeBucketed(graft.Tables(spark, sfDir, "lineitem"), lt,
+        s"$base/lineitem", buckets, "l_orderkey", Seq("l_orderkey"))
+    if (!spark.catalog.tableExists(ot))
+      writeBucketed(graft.Tables(spark, sfDir, "orders"), ot,
+        s"$base/orders", buckets, "o_orderkey", Seq("o_orderkey"))
+    (lt, ot)
+  }
+
+  /** Fact–fact join on the bucket key: order-priority revenue rollup.
+    * Both sides read pre-clustered, so the sort-merge join plans with
+    * no exchange below it — the only shuffle in the whole query is the
+    * final 5-group aggregation. (`merge` hint: at test/verify scales
+    * orders fits under the broadcast threshold, which would hide the
+    * bucket win; at corpus scale SMJ is what the optimizer picks
+    * anyway, so the hint pins the plan shape that matters.) */
+  def bucketedPriorityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lt, ot) = ensureTpchBuckets(spark, sfDir)
+    val l = spark.table(lt)
+    val o = spark.table(ot)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum(l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** High-cardinality aggregation on the bucket key: per-order line
+    * rollup. Bucketing satisfies the groupBy's distribution
+    * requirement, so the aggregation runs scan-local — zero exchanges
+    * anywhere in the plan (PlanSpec). At corpus scale this is the
+    * difference between a full-data shuffle and none. */
+  def bucketedOrderRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lt, _) = ensureTpchBuckets(spark, sfDir)
+    spark.table(lt)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        max(col("l_shipdate")).as("last_ship"))
+  }
+}

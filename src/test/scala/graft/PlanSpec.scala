@@ -457,6 +457,51 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("bucketed join: zero exchanges below the sort-merge join; bucketed rollup: zero anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def allOps(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allOps(a.executedPlan)
+      case s: QueryStageExec        => allOps(s.plan)
+      case other                    => other +: other.children.flatMap(allOps)
+    }
+    // fact–fact join over the bucketed layout: the SMJ's subtree must
+    // contain no shuffle — the buckets ARE the distribution
+    val join = SparkEntry.queries("q_bucket_join")(spark, sf)
+    join.collect()   // AQE-finalize
+    val smj = allOps(join.queryExecution.executedPlan)
+      .collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail("no SortMergeJoin in q_bucket_join plan:\n" +
+        join.queryExecution.executedPlan.toString.take(2000)))
+    val below = (allOps(smj.left) ++ allOps(smj.right))
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(below.isEmpty, s"exchange below the bucketed SMJ:\n$smj")
+
+    // aggregation on the bucket key: the ENTIRE plan is exchange-free
+    val rollup = graft.operators.Bucketing.bucketedOrderRollup(spark, sf)
+    rollup.collect()
+    val anywhere = allOps(rollup.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(anywhere.isEmpty,
+      rollup.queryExecution.executedPlan.toString.take(2000))
+
+    // and the layout is results-invisible: bucketed join ≡ plain join
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_lines"),
+        graft.operators.Exact.dsum(
+          org.apache.spark.sql.functions.expr(
+            "l_extendedprice * (1 - l_discount)")).as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(join.collect().toSeq === plain.collect().toSeq)
+  }
+
   test("fused RepetitionStatsExpr equals the composed explode/groupBy form row-for-row") {
     import spark.implicits._
     // includes docs with trailing spaces, repeats, a single token, and a
