@@ -65,6 +65,14 @@ object SparkEntry {
     // flat table so the pruning win is a measured bench delta, not an
     // assertion). Same oracle as the flat table: the partitioned copy
     // holds exactly the source rows.
+    // 2-D box slice over a z-ordered (Morton-clustered) lineitem copy:
+    // both range predicates push to the scan, and the clustered layout
+    // makes file/row-group min-max stats skip everything outside the
+    // box (LayoutSpec measures the skip from the written footers; the
+    // oracle runs the same slice on the plain table — layout is
+    // results-invisible)
+    "q_zorder_slice" -> ((s, dir) => Layout.zorderSlice(s, dir)),
+
     "q_dpp_dayslice" -> ((s, dir) => {
       val (factsPath, daysPath) = Tables.eventsByDay(s, dir)
       val facts = s.read.parquet(factsPath)
@@ -1875,6 +1883,15 @@ object SparkEntry {
     // both DPP queries aggregate the identical day slice — the
     // partitioned copy holds exactly the source rows, so one SQL
     // serves as the oracle for the pruned AND the full-scan plan
+    // same slice on the plain table — the z-ordered layout must not
+    // change a row
+    "q_zorder_slice" ->
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 0 AND 24 AND l_suppkey BETWEEN 0 AND 1
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_dpp_dayslice" ->
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |  ${dsumSql("value")} AS sum_value

@@ -93,7 +93,10 @@ object StressSmoke {
     // bucketed layout: the write is once-per-workdir (median-of-3
     // absorbs the first-rep bucketing cost), after which the join and
     // the bucket-key rollup must scale on a shuffle-free plan
-    "q_bucket_join", "q_bucket_rollup")
+    "q_bucket_join", "q_bucket_rollup",
+    // z-ordered layout: once-per-JVM clustered write (same first-rep
+    // amortization), then the box slice scans stats-pruned files
+    "q_zorder_slice")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

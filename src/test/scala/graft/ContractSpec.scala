@@ -13,14 +13,16 @@ package graft
   *
   * Cost note: "analyze" is NOT free for every entry. Builders whose
   * plan CONSTRUCTION is eager — the incremental-dedup ledger's
-  * `localCheckpoint` (q_dedup_minhash_inc / q_dedup_incremental) and
-  * the connected-components driver loop (q_dedup_cluster*) — run real
-  * sf0.001 jobs here. That is accepted deliberately: the eagerness is
-  * load-bearing (the ledger checkpoint cuts lineage the iterative
-  * consumers depend on; CC's convergence loop must count frontiers),
-  * and at sf0.001 the whole suite stays a few seconds. Making them
-  * lazy just for this gate would test a different plan than the one
-  * that ships.
+  * `localCheckpoint` (q_dedup_minhash_inc / q_dedup_incremental), the
+  * connected-components driver loop (q_dedup_cluster*), and the
+  * layout writers (q_bucket_* bucketed tables, q_zorder_slice's
+  * clustered copy, both once per JVM) — run real sf0.001 jobs here.
+  * That is accepted deliberately: the eagerness is load-bearing (the
+  * ledger checkpoint cuts lineage the iterative consumers depend on;
+  * CC's convergence loop must count frontiers; a layout query IS a
+  * query over a written layout), and at sf0.001 the whole suite stays
+  * a few seconds. Making them lazy just for this gate would test a
+  * different plan than the one that ships.
   */
 class ContractSpec extends SparkSpec {
 
