@@ -1285,6 +1285,41 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup 2a'': repeated-SPAN removal — fixed-width-gram
+    // exact-substring dedup (Lee et al. 2022 in spirit): any 3-token
+    // gram occurrence beyond its corpus-wide first is stripped and
+    // docs are rebuilt from surviving tokens. Removes verbatim
+    // boilerplate INSIDE otherwise-unique docs — the granularity
+    // between dedupLines (whole lines) and cluster_apply (whole docs).
+    "q_span_dedup" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", w = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ER: fuzzy record matching — token-blocking inverted index (hot
+    // cap, same shape as the shingle caps) + exact Levenshtein verify
+    // once per unique candidate pair. The source-merging pass that
+    // collapses typo'd duplicate metadata records before doc dedup.
+    "q_er_match" -> ((s, dir) => {
+      EntityResolution.fuzzyMatchPairs(
+        t(s, dir, "part").filter(col("p_partkey") < 200),
+        "p_partkey", "p_name", maxDistance = 3, maxBucket = 150)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Clustering: exact-integer Lloyd k-means over the embeddings —
+    // corpus curation cells (SemDeDup-style) with centroids as driver
+    // literals (assignment = one narrow projection, update = k·dim
+    // map-side-combined partial sums). Integer arithmetic end to end
+    // makes the result partitioning-independent and oracle-exact.
+    "q_kmeans" -> ((s, dir) => {
+      Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
+    }),
+
     // Dedup 2b: pairwise matches → transitive clusters (connected components)
     "q_dedup_cluster" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
@@ -1861,6 +1896,33 @@ object SparkEntry {
   private def detFoldPairSql(x: String, y: String): String =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(64), " +
       s"d -> CAST($x[d+1] AS DOUBLE) * CAST($y[d+1] AS DOUBLE))), (a, x) -> a + x)"
+
+  /** DuckDB fragment: exact integer squared-L2 between two quantized
+    * 64-dim long vectors — BIGINT end to end, so the fold order is
+    * irrelevant (mirrors Clustering.kmeansAssign's zip_with sum). */
+  private def intDist2Sql(x: String, y: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(64), " +
+      s"dd -> ($x[dd+1]-$y[dd+1])*($x[dd+1]-$y[dd+1]))), (a, x) -> a + x)"
+
+  /** One unrolled Lloyd round for the q_kmeans oracle: assignment
+    * against centroid CTE `prev` (argmin dist2, ties to the smaller
+    * cell id), then the exact-integer floor-mean centroid update with
+    * empty cells keeping `prev`'s centroid — the same semantics
+    * Clustering.kmeansAssign runs. */
+  private def kmeansRoundSql(n: Int, prev: String): String = {
+    val d = intDist2Sql("q.vq", "c.cq")
+    s"""a$n AS (SELECT id, vq, cid AS cell FROM (
+       |    SELECT q.id, q.vq, c.cid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY $d, c.cid) AS rn
+       |    FROM qv q CROSS JOIN $prev c) WHERE rn = 1),
+       |s$n AS (SELECT cell, g.d AS dim, sum(vq[g.d+1]) AS s, count(*) AS n
+       |   FROM a$n CROSS JOIN (SELECT unnest(range(64)) AS d) g
+       |   GROUP BY cell, g.d),
+       |u$n AS (SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS cq
+       |   FROM s$n GROUP BY cell),
+       |c$n AS (SELECT p.cid, COALESCE(u$n.cq, p.cq) AS cq
+       |   FROM $prev p LEFT JOIN u$n ON u$n.cell = p.cid)""".stripMargin
+  }
 
   private val jaccardShingleCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 500),
@@ -3197,6 +3259,63 @@ object SparkEntry {
         |JOIN sz cb ON cb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / CAST(least(ca.c, cb.c) AS DOUBLE) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors removeRepeatedSpans exactly: 0-based token positions,
+    // 3-token grams, corpus-first winner by the packed (doc_id, pos)
+    // key, covered-position union, ordered rebuild; docs with every
+    // token covered survive as empty text
+    "q_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id < 500),
+        |ix AS (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS p1 FROM d),
+        |toks AS (SELECT doc_id, p1 - 1 AS pos, w[p1] AS tok FROM ix),
+        |occ AS (SELECT doc_id, p1 - 1 AS pos, array_to_string(w[p1:p1+2], ' ') AS gram
+        |        FROM ix WHERE p1 + 2 <= len(w)),
+        |win AS (SELECT gram, min(doc_id*1000000 + pos) AS wk FROM occ GROUP BY gram),
+        |cov AS (SELECT DISTINCT o.doc_id, o.pos + g.i AS pos
+        |        FROM occ o JOIN win ON o.gram = win.gram AND o.doc_id*1000000 + o.pos <> win.wk
+        |        CROSS JOIN (SELECT unnest(range(3)) AS i) g),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t LEFT JOIN cov c
+        |         ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL),
+        |reb AS (SELECT doc_id AS rid, string_agg(tok, ' ' ORDER BY pos) AS rtext, count(*) AS nk
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(reb.rtext, '') AS text, len(d.w) AS n_tokens,
+        |       len(d.w) - COALESCE(reb.nk, 0) AS n_removed
+        |FROM d LEFT JOIN reb ON d.doc_id = reb.rid
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors EntityResolution.fuzzyMatchPairs: distinct (id, token)
+    // inverted index, hot-token cap at 150, distinct candidate pairs,
+    // Levenshtein verify (DuckDB's levenshtein ≡ Spark's)
+    "q_er_match" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS nm FROM part WHERE p_partkey < 200),
+        |tok0 AS (SELECT id, nm, unnest(string_split(nm, ' ')) AS t FROM r),
+        |tok AS (SELECT DISTINCT id, nm, t FROM tok0),
+        |hot AS (SELECT t FROM tok GROUP BY t HAVING count(*) > 150),
+        |tk AS (SELECT * FROM tok WHERE t NOT IN (SELECT t FROM hot)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+        |         FROM tk a JOIN tk b ON a.t = b.t AND a.id < b.id)
+        |SELECT id_a, id_b, name_a, name_b, levenshtein(name_a, name_b) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // mirrors Clustering.kmeansAssign bit-for-bit: the whole
+    // iteration is exact integer arithmetic (quantized vectors,
+    // integer dist2, floor-mean updates), so the unrolled two Lloyd
+    // rounds and the final argmin assignment need no rounding at all
+    "q_kmeans" ->
+      s"""WITH qv AS (SELECT vec_id AS id,
+        |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vq
+        | FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vq AS cq
+        |   FROM (SELECT id, vq FROM qv ORDER BY id LIMIT 8)),
+        |${kmeansRoundSql(1, "c0")},
+        |${kmeansRoundSql(2, "c1")}
+        |SELECT id AS vec_id, cell AS cluster, dist2 FROM (
+        |  SELECT q.id, c.cid AS cell, ${intDist2Sql("q.vq", "c.cq")} AS dist2,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY ${intDist2Sql("q.vq", "c.cq")}, c.cid) AS rn
+        |  FROM qv q CROSS JOIN c2 c) t(id, cell, dist2, rn) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // mirrors the DetHash arm of bucketedTopK: det-hyperplane keys on
     // both sides, band join, fold cosine, (cos DESC, n_id) row_number —

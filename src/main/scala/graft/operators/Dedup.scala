@@ -866,4 +866,64 @@ object Dedup {
         Vectors.cosineFold(col("v_a"), col("v_b"), dim).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Cross-document repeated-span removal — fixed-width-gram
+    * exact-substring dedup in the spirit of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * with w-token grams standing in for the suffix array: every
+    * occurrence of a w-token gram beyond its corpus-wide FIRST
+    * occurrence (ordered by (doc id, token position)) marks its w
+    * token positions covered, and each document is rebuilt from its
+    * uncovered tokens in order. Unlike [[dedupLines]] (whole-line
+    * granularity) or [[applyNearDups]] (whole-doc granularity), this
+    * removes verbatim boilerplate *inside* otherwise-unique documents
+    * — the license-header / navigation-chrome case.
+    *
+    * Output: one row per input doc — (idCol, textCol rebuilt,
+    * n_tokens, n_removed). Docs shorter than w tokens pass through
+    * untouched; a doc whose every token is covered survives with
+    * empty text (corpus row count is preserved, unlike the
+    * whole-doc dedup variants).
+    *
+    * Scale design: the only corpus-sized shuffles key on the gram
+    * (winner aggregation, map-side combinable min-struct — identical
+    * shape to [[dedupLines]]' combiner) and on the doc id (coverage
+    * distinct + rebuild). Nothing enumerates pairs: a gram occurring
+    * n times contributes n aggregation rows, not n² — boilerplate
+    * repeated a million times collapses in the map-side combine. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 2, "span width must be >= 2 tokens")
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    // gram occurrences from array slices (no per-doc window needed)
+    val occ = docs.select(col(idCol).as("_id"), split(col(textCol), " ").as("wts"))
+      .filter(size(col("wts")) >= w)
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(0), size(col("wts")) - w),
+          i => array_join(slice(col("wts"), i + 1, lit(w)), " "))).as(Seq("pos", "gram")))
+    // corpus-wide first occurrence per gram: min over a single packed
+    // key (doc id and position are both non-negative; positions are
+    // bounded far below the 1e6 packing base)
+    val key = col("_id") * lit(1000000L) + col("pos")
+    val winners = occ.groupBy("gram").agg(min(key).as("_wk"))
+    val covered = occ.join(winners, "gram")
+      .filter(key =!= col("_wk"))
+      .select(col("_id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("_kept_text"),
+        count(lit(1)).as("_n_kept"))
+    docs.select(col(idCol).as("_id"), size(split(col(textCol), " ")).as("n_tokens"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_kept_text"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
 }
