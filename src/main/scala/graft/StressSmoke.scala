@@ -96,7 +96,13 @@ object StressSmoke {
     "q_bucket_join", "q_bucket_rollup",
     // z-ordered layout: once-per-JVM clustered write (same first-rep
     // amortization), then the box slice scans stats-pruned files
-    "q_zorder_slice")
+    "q_zorder_slice",
+    // round-10 curation ops: repeated-span removal and fuzzy ER run
+    // the canonical 500-doc slice replicated into EVERY replica via
+    // pmod (replica tokens are suffixed, so grams/blocks never cross
+    // replicas — candidate work scales linearly); k-means runs the
+    // canonical full-corpus query as-is (embeddings replicate)
+    "q_span_dedup", "q_er_match", "q_kmeans")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -183,6 +189,30 @@ object StressSmoke {
         graft.operators.Multimodal.imageHashes(
           graft.operators.Multimodal.patternMedia(ids, "doc_id")),
         "media_id", "ahash", maxHamming = 3, outA = "id_a", outB = "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the canonical doc_id < 500 slice replicated into every replica:
+    // replica k>0 tokens carry the replica suffix, so no gram is ever
+    // shared across replicas — the winner aggregation and coverage
+    // join grow linearly with the corpus, the 100 TB shape
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(
+        Tables(s, dir, "documents").filter(pmod(col("doc_id"), lit(OFF)) < 500),
+        "doc_id", "text", w = 3)
+        .orderBy("doc_id")),
+    // the canonical query blocks on `part` names, but dims copy through
+    // unreplicated — the probe instead derives record names from the
+    // replicated documents (first 6 tokens), so blocks and the
+    // Levenshtein verify scale with the corpus while the hot-token cap
+    // keeps any one block bounded
+    "q_er_match" -> ((s, dir) => {
+      val recs = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(OFF)) < 500)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 6), " ").as("name"))
+      graft.operators.EntityResolution.fuzzyMatchPairs(
+        recs, "doc_id", "name", maxDistance = 8, maxBucket = 100)
         .orderBy("id_a", "id_b")
     }),
 
