@@ -16,16 +16,30 @@ disagree (a partial run min-merged into a full one would understate
 the total).
 
 Usage:
-    python3 tools/bench_merge.py run1.json run2.json [...] out.json
+    python3 tools/bench_merge.py [--merge-prior prior.json] run1.json run2.json [...] out.json
+
+--merge-prior extends the min across tonight's runs with a PRIOR merged
+artifact's per-query values — valid ONLY when the code behind the shared
+queries is unchanged between the prior artifact's HEAD and the current
+one (purely additive commits), in which case the prior runs are more
+runs of identical code and the per-query min remains the noise-floor
+estimator. The prior's query set must be a subset of the runs' set
+(prior-only queries are unverified at the current HEAD and are
+rejected); provenance is recorded in the output's "runs" list.
 """
 import json
 import sys
 
 
 def main():
-    if len(sys.argv) < 4:
+    args = sys.argv[1:]
+    prior_path = None
+    if args and args[0] == "--merge-prior":
+        prior_path = args[1]
+        args = args[2:]
+    if len(args) < (2 if prior_path else 3):
         raise SystemExit(__doc__)
-    *run_paths, out_path = sys.argv[1:]
+    *run_paths, out_path = args
     runs = []
     for path in run_paths:
         run = json.load(open(path))
@@ -44,6 +58,23 @@ def main():
         raise SystemExit(f"runs disagree on sf: {sorted(sfs)}")
     merged = {n: round(min(run["queries"][n] for _, run in runs), 4)
               for n in sorted(names)}
+    prior_note = []
+    if prior_path:
+        prior = json.load(open(prior_path))
+        if prior.get("metric") != "total":
+            raise SystemExit(f"{prior_path}: not a merged bench artifact — rejected")
+        if prior["sf"] not in sfs:
+            raise SystemExit(f"{prior_path}: sf {prior['sf']!r} differs — rejected")
+        extra = set(prior["queries"]) - names
+        if extra:
+            raise SystemExit(
+                f"{prior_path}: queries absent from the current runs "
+                f"(unverified at this HEAD): {sorted(extra)} — rejected")
+        for n, sec in prior["queries"].items():
+            merged[n] = round(min(merged[n], sec), 4)
+        prior_note = [{"file": prior_path, "total_sec": round(prior["value"], 2),
+                       "role": "prior merged artifact (identical code for its "
+                               "queries; see commit message for the HEAD range)"}]
     artifact = {
         "metric": "total",
         "value": round(sum(merged.values()), 4),
@@ -51,8 +82,8 @@ def main():
         "queries": merged,
         "sf": sfs.pop(),
         "merge": "per-query min",
-        "runs": [{"file": path, "total_sec": round(run["value"], 2)}
-                 for path, run in runs],
+        "runs": prior_note + [{"file": path, "total_sec": round(run["value"], 2)}
+                              for path, run in runs],
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -81,6 +81,13 @@ def main():
     ap.add_argument("--x100", default=None,
                     help="spot-probe run JSON at a higher replica count")
     ap.add_argument("--x100-replicas", type=int, default=100)
+    ap.add_argument("--keep-x100", action="store_true",
+                    help="carry the --merge-into artifact's existing x100 "
+                         "probes forward (for delta merges that only re-run "
+                         "a few queries: probes whose kernels are untouched "
+                         "since the base artifact's measurement stay valid; "
+                         "the base artifact's note records their HEAD). New "
+                         "--x100 runs still overwrite per-probe entries.")
     args = ap.parse_args()
 
     base = min_merge(load_runs(args.base, "base", 1))
@@ -145,9 +152,18 @@ def main():
     }
     if dropped:
         artifact["dropped_entries"] = dropped
+    if args.keep_x100:
+        if not args.merge_into:
+            raise SystemExit("--keep-x100 requires --merge-into")
+        kept = json.load(open(args.merge_into)).get(
+            f"x{args.x100_replicas}_probes", {})
+        if kept:
+            artifact[f"x{args.x100_replicas}_probes"] = kept
     if args.x100:
         x100 = min_merge(load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
-        probes = {}
+        # start from probes carried by --keep-x100 (if any); fresh runs
+        # overwrite per-probe entries
+        probes = dict(artifact.get(f"x{args.x100_replicas}_probes", {}))
         for name, sec in sorted(x100.items()):
             if name not in base:
                 raise SystemExit(f"{name} in x100 probe but not in base run")
