@@ -53,19 +53,38 @@ object Bucketing {
 
   /** Bucketed lineitem + orders, clustered on the order key — written
     * once per (session, sfDir), then reused by every bucketed query.
-    * Returns the (lineitem, orders) catalog table names. */
+    * Returns the (lineitem, orders) catalog table names.
+    *
+    * Bucket count is sized to the DATA unless the caller pins it: the
+    * smallest power of two with ≤ ~75k lineitem rows per bucket
+    * (floor 8) — a fixed count would cap aggregation/join parallelism
+    * at write-time size forever (the 10× stress probe measured exactly
+    * that: a 30× rollup ratio on 8 frozen buckets). Power-of-two
+    * counts keep any two sfDirs' layouts merge-join-compatible after
+    * a coalesce, and both tables share one count derived from the
+    * bigger side (equal counts are what make the SMJ exchange-free).
+    * The derivation is deterministic per sfDir, so every session
+    * writing the same data picks the same layout. */
   def ensureTpchBuckets(spark: SparkSession, sfDir: String,
-                        buckets: Int = 8): (String, String) = synchronized {
+                        buckets: Int = 0): (String, String) = synchronized {
     val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
     val lt = s"graft_bkt_${tag}_lineitem"
     val ot = s"graft_bkt_${tag}_orders"
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
-    if (!spark.catalog.tableExists(lt))
-      writeBucketed(graft.Tables(spark, sfDir, "lineitem"), lt,
-        s"$base/lineitem", buckets, "l_orderkey", Seq("l_orderkey"))
-    if (!spark.catalog.tableExists(ot))
-      writeBucketed(graft.Tables(spark, sfDir, "orders"), ot,
-        s"$base/orders", buckets, "o_orderkey", Seq("o_orderkey"))
+    if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(ot)) {
+      val li = graft.Tables(spark, sfDir, "lineitem")
+      val n = if (buckets > 0) buckets else {
+        val rows = li.count()
+        var b = 8
+        while (b.toLong * 75000L < rows && b < (1 << 20)) b <<= 1
+        b
+      }
+      if (!spark.catalog.tableExists(lt))
+        writeBucketed(li, lt, s"$base/lineitem", n, "l_orderkey", Seq("l_orderkey"))
+      if (!spark.catalog.tableExists(ot))
+        writeBucketed(graft.Tables(spark, sfDir, "orders"), ot,
+          s"$base/orders", n, "o_orderkey", Seq("o_orderkey"))
+    }
     (lt, ot)
   }
 
