@@ -33,7 +33,8 @@ object Bucketing {
   /** Write `df` as a bucketed, per-bucket-sorted external parquet
     * table, one file per bucket. Overwrites any previous layout at
     * `path` (stale files from an earlier run must not leak into the
-    * new table's buckets). */
+    * new table's buckets). Drops a `_BUCKET_SPEC` marker so a later
+    * session can [[attachBucketed]] instead of rewriting. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     numBuckets: Int, key: String,
                     sortCols: Seq[String] = Nil): Unit = {
@@ -49,6 +50,45 @@ object Bucketing {
     val sorted =
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(table)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "_BUCKET_SPEC"), true)
+    out.write(bucketSpec(numBuckets, key, sortCols)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def bucketSpec(n: Int, key: String, sortCols: Seq[String]): String =
+    s"$n|$key|${sortCols.mkString(",")}"
+
+  /** Register `table` over an EXISTING bucketed layout at `path`
+    * without rewriting a byte — the durable-layout contract: the
+    * catalog entry is session-local metadata, the files are the
+    * artifact, and a new session re-attaches instead of re-shuffling
+    * the corpus (at 100 TB, rewriting on every session restart would
+    * erase the layout's entire amortization win). Returns false when
+    * the path carries no `_BUCKET_SPEC` marker or the marker disagrees
+    * with the requested spec — callers then fall back to
+    * [[writeBucketed]]; a mismatched attach would silently mis-bucket
+    * every downstream join, so the marker check is strict. */
+  def attachBucketed(spark: SparkSession, table: String, path: String,
+                     numBuckets: Int, key: String,
+                     sortCols: Seq[String] = Nil): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_BUCKET_SPEC")
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    if (found != bucketSpec(numBuckets, key, sortCols)) return false
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val ddl = spark.read.parquet(path).schema.toDDL
+    val sorted =
+      if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")})" else ""
+    spark.sql(
+      s"""CREATE TABLE `$table` ($ddl) USING parquet
+         |CLUSTERED BY ($key) $sorted INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    true
   }
 
   /** Bucketed lineitem + orders, clustered on the order key — written
@@ -72,20 +112,48 @@ object Bucketing {
     val ot = s"graft_bkt_${tag}_orders"
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
     if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(ot)) {
-      val li = graft.Tables(spark, sfDir, "lineitem")
-      val n = if (buckets > 0) buckets else {
-        val rows = li.count()
-        var b = 8
-        while (b.toLong * 75000L < rows && b < (1 << 20)) b <<= 1
-        b
+      // a durable layout from an earlier session re-attaches without
+      // rewriting (markerBuckets reads the count the files were
+      // actually written with); only a missing/mismatched layout pays
+      // the write shuffle again
+      val existing =
+        if (buckets > 0) Some(buckets)
+        else markerBuckets(spark, s"$base/lineitem", "l_orderkey", Seq("l_orderkey"))
+      val attached = existing.exists { n =>
+        attachBucketed(spark, lt, s"$base/lineitem", n, "l_orderkey", Seq("l_orderkey")) &&
+          attachBucketed(spark, ot, s"$base/orders", n, "o_orderkey", Seq("o_orderkey"))
       }
-      if (!spark.catalog.tableExists(lt))
+      if (!attached) {
+        val li = graft.Tables(spark, sfDir, "lineitem")
+        val n = if (buckets > 0) buckets else {
+          val rows = li.count()
+          var b = 8
+          while (b.toLong * 75000L < rows && b < (1 << 20)) b <<= 1
+          b
+        }
         writeBucketed(li, lt, s"$base/lineitem", n, "l_orderkey", Seq("l_orderkey"))
-      if (!spark.catalog.tableExists(ot))
         writeBucketed(graft.Tables(spark, sfDir, "orders"), ot,
           s"$base/orders", n, "o_orderkey", Seq("o_orderkey"))
+      }
     }
     (lt, ot)
+  }
+
+  /** The bucket count a `_BUCKET_SPEC` marker at `path` declares, if
+    * its key/sort clause matches — None otherwise. */
+  private def markerBuckets(spark: SparkSession, path: String,
+                            key: String, sortCols: Seq[String]): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_BUCKET_SPEC")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    found.split("\\|", -1) match {
+      case Array(n, k, s) if k == key && s == sortCols.mkString(",") =>
+        scala.util.Try(n.toInt).toOption
+      case _ => None
+    }
   }
 
   /** Fact–fact join on the bucket key: order-priority revenue rollup.

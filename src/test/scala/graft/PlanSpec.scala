@@ -502,6 +502,33 @@ class PlanSpec extends SparkSpec {
     assert(join.collect().toSeq === plain.collect().toSeq)
   }
 
+  test("attachBucketed re-registers a durable layout without rewriting a byte") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attach_").toString
+    val df = Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    graft.operators.Bucketing.writeBucketed(
+      df, "attach_t", s"$dir/t", 4, "o_orderkey", Seq("o_orderkey"))
+    val files = () => new java.io.File(s"$dir/t").listFiles
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = files()
+    val expect = spark.table("attach_t").orderBy("o_orderkey").collect().toSeq
+    spark.sql("DROP TABLE attach_t") // a fresh session's empty catalog
+    assert(graft.operators.Bucketing.attachBucketed(
+      spark, "attach_t", s"$dir/t", 4, "o_orderkey", Seq("o_orderkey")))
+    assert(files() === before) // same files, same mtimes — nothing rewritten
+    assert(spark.table("attach_t").orderBy("o_orderkey").collect().toSeq === expect)
+    // the attached table still carries the bucket distribution: a
+    // bucket-key aggregation plans with no exchange at all
+    val agg = spark.table("attach_t").groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    // a spec mismatch refuses the attach (mis-bucketed joins are silent
+    // corruption — the strict marker check is the guard)
+    assert(!graft.operators.Bucketing.attachBucketed(
+      spark, "attach_t2", s"$dir/t", 8, "o_orderkey", Seq("o_orderkey")))
+  }
+
   test("fused RepetitionStatsExpr equals the composed explode/groupBy form row-for-row") {
     import spark.implicits._
     // includes docs with trailing spaces, repeats, a single token, and a
