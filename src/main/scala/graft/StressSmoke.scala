@@ -90,9 +90,11 @@ object StressSmoke {
     // the per-source KL domain-shift diagnostic
     "q_lm_score", "q_shuffle_order", "q_domain_shift", "q_mm_neardup",
     "q_dedup_containment", "q_decontaminate_semantic",
-    // bucketed layout: the write is once-per-workdir (median-of-3
-    // absorbs the first-rep bucketing cost), after which the join and
-    // the bucket-key rollup must scale on a shuffle-free plan
+    // bucketed layout: the write is genuinely once-per-workdir (the
+    // _BUCKET_SPEC marker lets later JVMs attach instead of rewrite —
+    // rewriting per JVM poisoned reps with the write's page-cache
+    // aftermath), so the reps measure the join and the bucket-key
+    // rollup on their shuffle-free plans
     "q_bucket_join", "q_bucket_rollup",
     // z-ordered layout: once-per-JVM clustered write (same first-rep
     // amortization), then the box slice scans stats-pruned files
