@@ -1918,7 +1918,7 @@ object SparkEntry {
        |s$n AS (SELECT cell, g.d AS dim, sum(vq[g.d+1]) AS s, count(*) AS n
        |   FROM a$n CROSS JOIN (SELECT unnest(range(64)) AS d) g
        |   GROUP BY cell, g.d),
-       |u$n AS (SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY dim) AS cq
+       |u$n AS (SELECT cell, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY dim) AS cq
        |   FROM s$n GROUP BY cell),
        |c$n AS (SELECT p.cid, COALESCE(u$n.cq, p.cq) AS cq
        |   FROM $prev p LEFT JOIN u$n ON u$n.cell = p.cid)""".stripMargin
@@ -2822,8 +2822,8 @@ object SparkEntry {
         |  SELECT least(23, greatest(0,
         |    CAST(floor((l_extendedprice - 0.0) / 5000.0) AS INT))) AS bucket
         |  FROM lineitem)
-        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
-        |  0.0 + bucket * 5000.0 AS lo_edge
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0.0 + bucket * 5000.0 AS DOUBLE) AS lo_edge
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_profile" -> {
@@ -3278,7 +3278,7 @@ object SparkEntry {
         |         ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL),
         |reb AS (SELECT doc_id AS rid, string_agg(tok, ' ' ORDER BY pos) AS rtext, count(*) AS nk
         |        FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(reb.rtext, '') AS text, len(d.w) AS n_tokens,
+        |SELECT d.doc_id, COALESCE(reb.rtext, '') AS text, CAST(len(d.w) AS INTEGER) AS n_tokens,
         |       len(d.w) - COALESCE(reb.nk, 0) AS n_removed
         |FROM d LEFT JOIN reb ON d.doc_id = reb.rid
         |ORDER BY doc_id""".stripMargin,
@@ -3294,14 +3294,20 @@ object SparkEntry {
         |tk AS (SELECT * FROM tok WHERE t NOT IN (SELECT t FROM hot)),
         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
         |         FROM tk a JOIN tk b ON a.t = b.t AND a.id < b.id)
-        |SELECT id_a, id_b, name_a, name_b, levenshtein(name_a, name_b) AS dist
+        |SELECT id_a, id_b, name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // mirrors Clustering.kmeansAssign bit-for-bit: the whole
     // iteration is exact integer arithmetic (quantized vectors,
     // integer dist2, floor-mean updates), so the unrolled two Lloyd
-    // rounds and the final argmin assignment need no rounding at all
+    // rounds and the final argmin assignment need no rounding at all.
+    // Type discipline (round-10 red): DuckDB promotes sum(BIGINT) →
+    // HUGEINT inside the centroid CTE, and without the explicit BIGINT
+    // casts (kmeansRoundSql's u$n element + the final dist2 here) that
+    // type rides through list_reduce into the output as
+    // decimal128(38,0) while Spark emits int64 — value-identical but
+    // hash-mismatched under the driver's type-sensitive compare
     "q_kmeans" ->
       s"""WITH qv AS (SELECT vec_id AS id,
         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vq
@@ -3310,7 +3316,7 @@ object SparkEntry {
         |   FROM (SELECT id, vq FROM qv ORDER BY id LIMIT 8)),
         |${kmeansRoundSql(1, "c0")},
         |${kmeansRoundSql(2, "c1")}
-        |SELECT id AS vec_id, cell AS cluster, dist2 FROM (
+        |SELECT id AS vec_id, cell AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
         |  SELECT q.id, c.cid AS cell, ${intDist2Sql("q.vq", "c.cq")} AS dist2,
         |    row_number() OVER (PARTITION BY q.id
         |      ORDER BY ${intDist2Sql("q.vq", "c.cq")}, c.cid) AS rn

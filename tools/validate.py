@@ -1,18 +1,59 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: for each query
 output parquet in OUTDIR, run the matching oracle_sql.json entry in
-DuckDB over the same sf tables and compare (schema-lenient, value-exact
-after sorting columns by name and rows by content). Usage:
+DuckDB over the same sf tables and compare — TYPE-sensitive (canonical
+arrow types per column must match) and value-exact after sorting
+columns by name and rows by content. Usage:
 
     python3 tools/validate.py <sfDir> <outDir>
+
+Type sensitivity (round-10 postmortem): the driver's hasher is
+type-sensitive, but this gate used to compare Python values only —
+and Python's Decimal(123) == 123, so when DuckDB promoted
+sum(BIGINT) -> HUGEINT inside the q_kmeans centroid CTE and the
+oracle came back decimal128(38,0) against Spark's int64, every value
+compared equal locally while the driver hash-failed. Local green must
+mean driver green, so both sides are now reduced to canonical arrow
+type strings and compared BEFORE values.
 """
 import json, math, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon_type(t):
+    """Canonical type string: exact where drift is a real failure
+    (decimal vs int, int32 vs int64, float vs double), normalized only
+    where physical encodings legitimately differ between a Spark
+    parquet file and a DuckDB arrow result (string vs large_string,
+    timestamp unit/tz — a tz shift would already fail the value gate)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_integer(t):
+        return ("u" if not pa.types.is_signed_integer(t) else "") + f"int{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
 
 def canon(v):
     if v is None:
@@ -48,13 +89,16 @@ def main(sf_dir, out_dir):
             continue
         spark_names = list(tbl.column_names)
         spark_rows = [tuple(row[c] for c in spark_names) for row in tbl.to_pylist()]
+        spark_types = {f.name: canon_type(f.type) for f in tbl.schema}
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(spark_rows)}" + (" EMPTY!" if not spark_rows else "")
             continue
         try:
-            cur = con.execute(oracle[name])
-            duck_names = [d[0] for d in cur.description]
-            duck_rows = [tuple(r) for r in cur.fetchall()]
+            duck_tbl = con.execute(oracle[name]).arrow()
+            duck_names = list(duck_tbl.column_names)
+            duck_rows = [tuple(row[c] for c in duck_names)
+                         for row in duck_tbl.to_pylist()]
+            duck_types = {f.name: canon_type(f.type) for f in duck_tbl.schema}
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
@@ -62,6 +106,11 @@ def main(sf_dir, out_dir):
         dn, drows = norm_rows(duck_names, duck_rows)
         if sn != dn:
             results[name] = f"COLUMN_MISMATCH spark={sn} duck={dn}"
+            continue
+        drift = [f"{c}: spark={spark_types[c]} duck={duck_types[c]}"
+                 for c in sn if spark_types[c] != duck_types[c]]
+        if drift:
+            results[name] = "TYPE_MISMATCH " + "; ".join(drift)
             continue
         if len(srows) != len(drows):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(srows)} duck={len(drows)}"
