@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Verification is exact Levenshtein (Spark's codegen `levenshtein`,
   * bit-identical to the oracle's) computed ONCE per unique candidate
-  * pair: candidates are distinct'd on (id_a, id_b) BEFORE the edit
-  * distance runs — the same candidate diet as the embedding near-dup
-  * path (ids ride the shuffle, the quadratic-cost verify runs per
-  * unique pair).
+  * pair, and the candidate diet is IDS-ONLY: the inverted-index
+  * self-join and the distinct shuffle carry two longs per candidate —
+  * the string payload is joined back per UNIQUE pair just before the
+  * edit distance runs, the same diet the embedding near-dup path
+  * keeps (a record name repeated across b shared blocks would
+  * otherwise ride the shuffle b times).
   */
 object EntityResolution {
 
@@ -37,18 +39,23 @@ object EntityResolution {
     val tok = records
       .select(col(idCol).as("id"), col(nameCol).as("nm"))
       .withColumn("t", explode(array_distinct(split(col("nm"), " "))))
+      .select("id", "t")
     val capped =
       if (maxBucket > 0) {
         val hot = tok.groupBy("t").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket).select("t")
         tok.join(hot, Seq("t"), "left_anti")
       } else tok
-    val cand = capped.select(col("t"), col("id").as("id_a"), col("nm").as("name_a"))
-      .join(capped.select(col("t"), col("id").as("id_b"), col("nm").as("name_b")), Seq("t"))
+    val cand = capped.select(col("t"), col("id").as("id_a"))
+      .join(capped.select(col("t"), col("id").as("id_b")), Seq("t"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val names = records.select(col(idCol).as("id"), col(nameCol).as("nm"))
     cand
+      .join(names.select(col("id").as("id_a"), col("nm").as("name_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("nm").as("name_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDistance)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
 }
