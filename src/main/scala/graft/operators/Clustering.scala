@@ -32,15 +32,32 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Above this k the literal-argmin plan's AST size (k·dim Literal
+    * nodes) dominates; the fused reference-object expression takes
+    * over. 32 is conservative — both arms are fast there — chosen so
+    * the switch happens well before codegen limits, not at them. */
+  val fusedThreshold = 32
+
   /** Assign every vector to one of k clusters after `iters` Lloyd
     * update rounds. Deterministic init: the k smallest-id vectors are
     * the starting centroids (cluster j = j-th smallest id).
     * Output: (idCol, cluster, dist2) — dist2 the exact integer
     * squared distance (quantized domain) to the final centroid;
-    * ties broken toward the smaller cluster index. */
+    * ties broken toward the smaller cluster index.
+    *
+    * Two equivalent argmin arms (spec'd equal at k=8):
+    * the composed-builtins form folds k·dim literal nodes into the
+    * plan — oracle-mirrorable, but plan/codegen size grows with k and
+    * becomes the bottleneck around k ≈ 100. Past `fusedThreshold` (or
+    * when `fused` forces it) the assignment switches to
+    * [[graft.functions.KMeansArgminExpr]], which carries the centroid
+    * matrix as ONE reference object outside the expression tree — the
+    * plan stays O(1) in k, which is what a real SemDeDup pass
+    * (k in the thousands) needs. */
   def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int, fused: Boolean = false): DataFrame = {
     require(k >= 2 && iters >= 0, "need k >= 2 and iters >= 0")
+    val useFused = fused || k > fusedThreshold
     val q = vecs.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("vq"))
@@ -49,7 +66,8 @@ object Clustering {
     // structs — lexicographic struct ordering gives the min distance
     // with ties to the smaller cluster index, all in one projection
     def best(cents: Array[Array[Long]]): Column =
-      array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      if (useFused) graft.functions.KMeansArgminExpr(col("vq"), cents)
+      else array_min(array(cents.zipWithIndex.map { case (c, j) =>
         struct(
           aggregate(zip_with(col("vq"), typedLit(c.toSeq),
             (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("dist2"),

@@ -71,6 +71,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(repart === out) // exact integer arithmetic ⇒ partitioning-independent
   }
 
+  test("kmeansAssign fused argmin (reference-object expression) ≡ literal path at k=8") {
+    // the large-k arm must be BIT-identical to the oracle-mirrored
+    // literal arm — same exact-integer dist2, same smaller-index tie
+    // break — on the real corpus at the canonical q_kmeans parameters
+    val e = Tables(spark, sf, "embeddings")
+    val lit = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id").collect().toSeq.map(_.toString)
+    val fus = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2,
+      fused = true).orderBy("vec_id").collect().toSeq.map(_.toString)
+    assert(fus === lit)
+    // and the fused plan must not grow with k: the argmin is a single
+    // expression node carrying the matrix outside the AST
+    val plan = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 0,
+      fused = true).queryExecution.executedPlan.toString
+    assert(plan.contains("kmeans_argmin"), plan.take(1200))
+  }
+
+  test("kmeansAssign auto-switches to the fused arm past fusedThreshold without error") {
+    // k=40 > fusedThreshold=32: the literal arm would fold 40·dim
+    // Literal nodes into the plan; the switch keeps plan size O(1).
+    // Correctness at large k is the same code path spec'd equal above;
+    // here assert the end-to-end run completes and covers all points.
+    val e = Tables(spark, sf, "embeddings").limit(120)
+    val out = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 40, iters = 1)
+    assert(out.count() === 120L)
+    assert(out.select("cluster").distinct().count() > 1L)
+  }
+
   test("kmeansAssign keeps an emptied cell's previous centroid") {
     // k=3 over 3 points where two init centroids coincide: cell 1
     // can never win a tie against cell 0 (equal dist2, higher index)

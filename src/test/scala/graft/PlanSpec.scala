@@ -429,6 +429,25 @@ class PlanSpec extends SparkSpec {
     assert(keyDiff === 0)
   }
 
+  test("fused vector folds reject array<double> at ANALYSIS, not at runtime") {
+    import spark.implicits._
+    // the fused loops read getFloat(d) raw bytes: an embeddings
+    // regeneration to array<double> must die where ContractSpec gates
+    // every query (analysis), never read garbage cosines at runtime
+    val dbl = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3, 0.4)))
+      .toDF("id", "v") // v: array<double>
+    val cos = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(graft.functions.Vectors
+        .cosineFold(col("v"), col("v"), 2)).queryExecution.analyzed
+    }
+    assert(cos.getMessage.contains("cosine_fold"), cos.getMessage)
+    val keys = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(graft.functions.Vectors
+        .detHyperplaneKeys(col("v"), 2, 4, 8)).queryExecution.analyzed
+    }
+    assert(keys.getMessage.contains("det_hyperplane_keys"), keys.getMessage)
+  }
+
   test("fused QualityStatsExpr equals the composed regex/split form row-for-row") {
     import spark.implicits._
     // real corpus + adversarial edges: consecutive stopwords, double
