@@ -347,7 +347,16 @@ object StressSmoke {
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
       try {
         val (sec, ok) = Timing.medianNoopWrite(name, fn, spark, work, timingReps)
-        if (ok) Some(name -> sec) else { failed += name; None }
+        if (ok) {
+          // output cardinality, measured once OUTSIDE the timed reps: a
+          // ratio ≫ replicas is only a scale-killer when the OUTPUT did
+          // not also grow (q_bucket_rollup emits 10x the groups at 10x —
+          // output-proportional work, not super-linearity). Recording
+          // out_rows lets stress_merge derive a per-output-row ratio so
+          // that distinction is in the artifact, not in prose.
+          val rows = fn(spark, work).count()
+          Some(name -> (sec, rows))
+        } else { failed += name; None }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"$name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -355,9 +364,10 @@ object StressSmoke {
           None
       }
     }
-    val qs = results.map { case (n, v) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (n, (v, _)) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val rs = results.map { case (n, (_, r)) => s"\"" + n + "\":" + r }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200}"""
+    val json = s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"out_rows":$rs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

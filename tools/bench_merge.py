@@ -16,7 +16,16 @@ disagree (a partial run min-merged into a full one would understate
 the total).
 
 Usage:
-    python3 tools/bench_merge.py [--merge-prior prior.json] run1.json run2.json [...] out.json
+    python3 tools/bench_merge.py [--merge-prior prior.json] [--fresh runK.json] \
+        run1.json run2.json [...] out.json
+
+--fresh names ONE of the input runs as the round's fresh-session
+headline: its total is copied verbatim into the output as
+"fresh_total" (+ "fresh_run"). Rationale (round-10 verdict): the
+min-merge is monotone non-increasing BY CONSTRUCTION — it can never
+show a regression — so it is a "best known" number, not a measurement
+of the session. The fresh single-session total is what "did this round
+make it faster" means; both belong in the artifact.
 
 --merge-prior extends the min across tonight's runs with a PRIOR merged
 artifact's per-query values — valid ONLY when the code behind the shared
@@ -34,12 +43,18 @@ import sys
 def main():
     args = sys.argv[1:]
     prior_path = None
-    if args and args[0] == "--merge-prior":
-        prior_path = args[1]
+    fresh_path = None
+    while args and args[0] in ("--merge-prior", "--fresh"):
+        if args[0] == "--merge-prior":
+            prior_path = args[1]
+        else:
+            fresh_path = args[1]
         args = args[2:]
     if len(args) < (2 if prior_path else 3):
         raise SystemExit(__doc__)
     *run_paths, out_path = args
+    if fresh_path and fresh_path not in run_paths:
+        raise SystemExit(f"--fresh {fresh_path} must be one of the input runs")
     runs = []
     for path in run_paths:
         run = json.load(open(path))
@@ -85,6 +100,12 @@ def main():
         "runs": prior_note + [{"file": path, "total_sec": round(run["value"], 2)}
                               for path, run in runs],
     }
+    if fresh_path:
+        fresh = next(run for path, run in runs if path == fresh_path)
+        # the honest session measurement, NOT the monotone min-merge:
+        # one fresh full run (per-query median-of-reps inside Bench)
+        artifact["fresh_total"] = round(fresh["value"], 2)
+        artifact["fresh_run"] = fresh_path
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")

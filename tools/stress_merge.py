@@ -53,18 +53,25 @@ def load_runs(spec, side, expected_replicas):
                   f"queries ({','.join(failed[:5])}…) — rejected whole",
                   file=sys.stderr)
             continue
-        runs.append(run["queries"])
+        runs.append((run["queries"], run.get("out_rows", {})))
     if not runs:
         raise SystemExit(f"no valid {side} runs among: {spec}")
     return runs
 
 
 def min_merge(runs):
-    out = {}
-    for run in runs:
+    """Per-query min seconds across runs, plus the per-query output
+    cardinality (out_rows is a property of the query at that scale, not
+    a timing — runs of identical code must agree; the max across runs
+    is taken so a truncated capture can only under-claim the ratio
+    denominator, never inflate it)."""
+    out, rows = {}, {}
+    for run, orows in runs:
         for name, sec in run.items():
             out[name] = min(out.get(name, float("inf")), sec)
-    return out
+        for name, r in orows.items():
+            rows[name] = max(rows.get(name, 0), int(r))
+    return out, rows
 
 
 def main():
@@ -90,8 +97,8 @@ def main():
                          "--x100 runs still overwrite per-probe entries.")
     args = ap.parse_args()
 
-    base = min_merge(load_runs(args.base, "base", 1))
-    x10 = min_merge(load_runs(args.x10, f"x{args.replicas}", args.replicas))
+    base, base_rows = min_merge(load_runs(args.base, "base", 1))
+    x10, x10_rows = min_merge(load_runs(args.x10, f"x{args.replicas}", args.replicas))
     bench = {}
     if args.bench:
         bench = json.load(open(args.bench))["queries"]
@@ -118,6 +125,20 @@ def main():
             f"x{args.replicas}_sec": round(x10[name], 3),
             "ratio": round(x10[name] / base[name], 2) if base[name] > 0 else None,
         }
+        # output-normalized ratio: a raw ratio near the replica count is
+        # only a scale problem when the OUTPUT didn'''t also grow — with
+        # out_rows on both sides the artifact separates
+        # output-proportional work (ratio_per_outrow ~ ratio/replicas)
+        # from genuine super-linearity (ratio_per_outrow >> 1 with flat
+        # output), instead of needing a prose note per offender
+        if name in base_rows and name in x10_rows and base_rows[name] > 0 \
+                and x10_rows[name] > 0 and base[name] > 0:
+            entry["out_rows_1x"] = base_rows[name]
+            entry[f"out_rows_x{args.replicas}"] = x10_rows[name]
+            entry[f"sec_per_Mrow_x{args.replicas}"] = round(
+                x10[name] / (x10_rows[name] / 1e6), 3)
+            entry["ratio_per_outrow"] = round(
+                (x10[name] / x10_rows[name]) / (base[name] / base_rows[name]), 2)
         if name in bench:
             entry["bench32_sec"] = round(bench[name], 3)
         queries[name] = entry
@@ -160,7 +181,7 @@ def main():
         if kept:
             artifact[f"x{args.x100_replicas}_probes"] = kept
     if args.x100:
-        x100 = min_merge(load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
+        x100, _ = min_merge(load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
         # start from probes carried by --keep-x100 (if any); fresh runs
         # overwrite per-probe entries
         probes = dict(artifact.get(f"x{args.x100_replicas}_probes", {}))
