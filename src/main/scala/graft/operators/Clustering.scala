@@ -48,16 +48,22 @@ object Clustering {
     * Two equivalent argmin arms (spec'd equal at k=8):
     * the composed-builtins form folds k·dim literal nodes into the
     * plan — oracle-mirrorable, but plan/codegen size grows with k and
-    * becomes the bottleneck around k ≈ 100. Past `fusedThreshold` (or
-    * when `fused` forces it) the assignment switches to
+    * becomes the bottleneck around k ≈ 100. Past `fusedThreshold`
+    * (or when `fused = Some(true)` forces it; `Some(false)` forces the
+    * literal arm, for calibration) the assignment switches to
     * [[graft.functions.KMeansArgminExpr]], which carries the centroid
     * matrix as ONE reference object outside the expression tree — the
     * plan stays O(1) in k, which is what a real SemDeDup pass
-    * (k in the thousands) needs. */
+    * (k in the thousands) needs. Measured (KmeansCalibrate, sf0.1
+    * embeddings, iters=0, assignment only): the literal arm's
+    * end-to-end time grows with k — 0.8 s at k=8, 1.4 s at k=64,
+    * 4.7 s at k=256 (codegen + evaluation of the k·dim expression
+    * tree dominates; only 5k rows flow) — while the fused arm holds
+    * ~0.2 s flat through k=1024 with ~0.01 s plan build. */
   def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, fused: Boolean = false): DataFrame = {
+                   k: Int, iters: Int, fused: Option[Boolean] = None): DataFrame = {
     require(k >= 2 && iters >= 0, "need k >= 2 and iters >= 0")
-    val useFused = fused || k > fusedThreshold
+    val useFused = fused.getOrElse(k > fusedThreshold)
     val q = vecs.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("vq"))

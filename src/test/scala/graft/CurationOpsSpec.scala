@@ -79,12 +79,12 @@ class CurationOpsSpec extends SparkSpec {
     val lit = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
       .orderBy("vec_id").collect().toSeq.map(_.toString)
     val fus = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2,
-      fused = true).orderBy("vec_id").collect().toSeq.map(_.toString)
+      fused = Some(true)).orderBy("vec_id").collect().toSeq.map(_.toString)
     assert(fus === lit)
     // and the fused plan must not grow with k: the argmin is a single
     // expression node carrying the matrix outside the AST
     val plan = Clustering.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 0,
-      fused = true).queryExecution.executedPlan.toString
+      fused = Some(true)).queryExecution.executedPlan.toString
     assert(plan.contains("kmeans_argmin"), plan.take(1200))
   }
 
