@@ -1320,6 +1320,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // k-means at k=64: k > fusedThreshold, so the assignment runs the
+    // reference-object KMeansArgminExpr arm — this query puts the
+    // large-k codegen path itself under the DuckDB oracle (the k=8
+    // query oracles the literal arm; both are exact integer argmin,
+    // so the SAME unrolled SQL serves with LIMIT 64 init)
+    "q_kmeans_large" -> ((s, dir) => {
+      Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 64, iters = 1)
+        .orderBy("vec_id")
+    }),
+
     // Dedup 2b: pairwise matches → transitive clusters (connected components)
     "q_dedup_cluster" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(
@@ -1922,6 +1933,26 @@ object SparkEntry {
        |   FROM s$n GROUP BY cell),
        |c$n AS (SELECT p.cid, COALESCE(u$n.cq, p.cq) AS cq
        |   FROM $prev p LEFT JOIN u$n ON u$n.cell = p.cid)""".stripMargin
+  }
+
+  /** The full q_kmeans oracle, parameterized: deterministic k-smallest-id
+    * init, `iters` unrolled Lloyd rounds, final argmin assignment. The
+    * CTE chain is k-agnostic (assignment cross-joins the centroid CTE)
+    * — only the init LIMIT and the final centroid CTE name vary. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map(n => kmeansRoundSql(n, s"c${n - 1}")).mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id AS id,
+      |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vq
+      | FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vq AS cq
+      |   FROM (SELECT id, vq FROM qv ORDER BY id LIMIT $k)),
+      |$rounds
+      |SELECT id AS vec_id, cell AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
+      |  SELECT q.id, c.cid AS cell, ${intDist2Sql("q.vq", "c.cq")} AS dist2,
+      |    row_number() OVER (PARTITION BY q.id
+      |      ORDER BY ${intDist2Sql("q.vq", "c.cq")}, c.cid) AS rn
+      |  FROM qv q CROSS JOIN c$iters c) t(id, cell, dist2, rn) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
   }
 
   private val jaccardShingleCtes =
@@ -3308,20 +3339,12 @@ object SparkEntry {
     // type rides through list_reduce into the output as
     // decimal128(38,0) while Spark emits int64 — value-identical but
     // hash-mismatched under the driver's type-sensitive compare
-    "q_kmeans" ->
-      s"""WITH qv AS (SELECT vec_id AS id,
-        |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0) AS BIGINT)) AS vq
-        | FROM embeddings),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid, vq AS cq
-        |   FROM (SELECT id, vq FROM qv ORDER BY id LIMIT 8)),
-        |${kmeansRoundSql(1, "c0")},
-        |${kmeansRoundSql(2, "c1")}
-        |SELECT id AS vec_id, cell AS cluster, CAST(dist2 AS BIGINT) AS dist2 FROM (
-        |  SELECT q.id, c.cid AS cell, ${intDist2Sql("q.vq", "c.cq")} AS dist2,
-        |    row_number() OVER (PARTITION BY q.id
-        |      ORDER BY ${intDist2Sql("q.vq", "c.cq")}, c.cid) AS rn
-        |  FROM qv q CROSS JOIN c2 c) t(id, cell, dist2, rn) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2),
+
+    // identical unrolled recipe at k=64/iters=1 — the Spark side runs
+    // the fused reference-object argmin (k > fusedThreshold), so this
+    // oracle verifies the large-k codegen path end to end
+    "q_kmeans_large" -> kmeansOracleSql(k = 64, iters = 1),
 
     // mirrors the DetHash arm of bucketedTopK: det-hyperplane keys on
     // both sides, band join, fold cosine, (cos DESC, n_id) row_number —

@@ -104,7 +104,9 @@ object StressSmoke {
     // pmod (replica tokens are suffixed, so grams/blocks never cross
     // replicas — candidate work scales linearly); k-means runs the
     // canonical full-corpus query as-is (embeddings replicate)
-    "q_span_dedup", "q_er_match", "q_kmeans")
+    "q_span_dedup", "q_er_match", "q_kmeans",
+    // round 11: the large-k fused-argmin arm on the replicated corpus
+    "q_kmeans_large")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
