@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked JVM's stdout bypass sbt's logger: every line sbt logs
+// gets an "[info] " prefix, which breaks downstream machine parsing of
+// the one-line JSON contracts (Bench/StressSmoke) — a parser looking
+// for a line starting with '{' never matches a prefixed line. With
+// StdoutOutput the process inherits the real stdout/stderr, so JSON
+// lines land bare at column 0 (and Spark's stderr noise stays out of
+// stdout captures).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,8 +24,8 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
     val results = SparkEntry.queries.toSeq.filter(q => only(q._1))
       .sortBy(_._1).map { case (name, fn) =>
-        val (median, ok) = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
-        (name, median, ok)
+        val m = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
+        (name, m.medianSec, m.ok)
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -44,19 +44,20 @@ object Bench {
     val metric = if (onlyField.isEmpty) "total" else "subset_total"
     val json =
       s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField$onlyField}"""
-    println(json)
-    // Persist the full per-query JSON to a file: the driver captures sbt
-    // stdout with a tail window, which has truncated the (large) JSON line
-    // before (round 9: BENCH parsed:null) — the file is the durable
-    // artifact, stdout the human-readable echo.
+    // The full per-query JSON goes ONLY to the sidecar file, never to
+    // stdout: the driver captures sbt stdout with a 2000-char tail
+    // window, and the ~5 KB per-query line flooded it every round
+    // (r9-r11: BENCH parsed:null). The sidecar is the durable artifact.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"bench artifact write to $out failed: ${e.getMessage}") }
-    // Compact summary as the FINAL stdout line: short enough that no tail
-    // window can truncate it, so a parser that takes the last JSON line
-    // always recovers at least the total + where the per-query file lives.
+    // Stdout carries ONE compact JSON line (totals + sidecar path): short
+    // enough that no tail window truncates it, bare at column 0 (build.sbt
+    // sets run/outputStrategy=StdoutOutput so sbt adds no "[info] "
+    // prefix), and the only '{'-line in the run's stdout — any
+    // line-scanning parser recovers the total and the per-query file.
     println(s"""{"metric":"$metric","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","queries_file":"$out"$failuresField}""")
     spark.stop()
     // a bench with broken queries must not look like a clean run to

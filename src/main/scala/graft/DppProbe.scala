@@ -54,7 +54,7 @@ object DppProbe {
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
     val results = Seq("q_dpp_dayslice", "q_dpp_fullscan").map { name =>
-      name -> Timing.medianNoopWrite(name, SparkEntry.queries(name), spark, work, timingReps)._1
+      name -> Timing.medianNoopWrite(name, SparkEntry.queries(name), spark, work, timingReps).medianSec
     }
     val qs = results.map { case (n, v) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
     val json =

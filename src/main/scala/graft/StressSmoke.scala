@@ -348,17 +348,18 @@ object StressSmoke {
     val results = stressQueries.filter(only).flatMap { name =>
       val fn = overrides.getOrElse(name, SparkEntry.queries(name))
       try {
-        val (sec, ok) = Timing.medianNoopWrite(name, fn, spark, work, timingReps)
-        if (ok) {
-          // output cardinality, measured once OUTSIDE the timed reps: a
-          // ratio ≫ replicas is only a scale-killer when the OUTPUT did
-          // not also grow (q_bucket_rollup emits 10x the groups at 10x —
-          // output-proportional work, not super-linearity). Recording
-          // out_rows lets stress_merge derive a per-output-row ratio so
-          // that distinction is in the artifact, not in prose.
-          val rows = fn(spark, work).count()
-          Some(name -> (sec, rows))
-        } else { failed += name; None }
+        // out_rows rides on the timed writes themselves (Observation
+        // over the noop sink) — no post-hoc fn(...).count() that would
+        // re-execute every query once more per run and could fail a
+        // query whose timed reps all succeeded. A ratio ≫ replicas is
+        // only a scale-killer when the OUTPUT did not also grow
+        // (q_bucket_rollup emits 10x the groups at 10x): out_rows on
+        // both sides lets stress_merge derive a per-output-row ratio so
+        // that distinction is in the artifact, not in prose.
+        val m = Timing.medianNoopWrite(name, fn, spark, work, timingReps,
+          observeRows = true)
+        if (m.ok) Some(name -> (m.medianSec, m.rows))
+        else { failed += name; None }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"$name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

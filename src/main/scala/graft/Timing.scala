@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Shared measurement policy for [[Bench]] and [[StressSmoke]], so the
   * two artifacts stay methodologically identical: per-query median of
@@ -10,24 +11,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Timing {
 
+  /** One measured query: median seconds over the reps, whether every
+    * rep succeeded, and the output cardinality (−1 unless observed). */
+  case class Measured(medianSec: Double, ok: Boolean, rows: Long)
+
   /** Run `fn`'s plan through a noop write `reps` times; return the
     * median seconds and whether every rep succeeded. A failed rep
     * reports its message on stderr — its (near-instant) duration would
-    * otherwise masquerade as a fast success in the round artifact. */
+    * otherwise masquerade as a fast success in the round artifact.
+    *
+    * With `observeRows` the row count rides on the timed writes
+    * themselves (an `Observation` — one CollectMetrics count over rows
+    * already materialized by the sink) instead of a separate
+    * `fn(...).count()` afterwards, which re-executed the full query
+    * once more per stress run and could fail a run whose timed reps
+    * all succeeded. Both sides of a stress ratio measure with the same
+    * flag, so the (tiny) metric overhead cancels. */
   def medianNoopWrite(name: String, fn: (SparkSession, String) => DataFrame,
                       spark: SparkSession, dir: String,
-                      reps: Int): (Double, Boolean) = {
+                      reps: Int, observeRows: Boolean = false): Measured = {
     var failed = false
+    var rows = -1L
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        if (observeRows) {
+          val obs = Observation()
+          fn(spark, dir).observe(obs, count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          rows = obs.get("rows").asInstanceOf[Long]
+        } else
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable =>
           failed = true
           System.err.println(s"$name FAILED: ${String.valueOf(e.getMessage).take(200)}")
       }
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    (times(times.length / 2), !failed)
+    Measured(times(times.length / 2), !failed, rows)
   }
 }

@@ -25,10 +25,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * exact integer squared-L2 over the quantized vector, ties to the
   * smaller cluster index (strict `<` keeps the first minimum). Null
   * vector elements are outside the contract (quantization makes the
-  * input non-null by construction); a short vector throws.
+  * input non-null by construction); a vector whose length differs from
+  * the centroid dim in EITHER direction throws — the literal arm's
+  * zip_with null-poisons ragged rows, so silently truncating a long
+  * vector here would make the two arms quietly diverge.
+  *
+  * The matrix is held as `Seq[Seq[Long]]` so the case-class equals/
+  * hashCode are structural: two expressions built from equal matrices
+  * are `semanticEquals`, letting canonicalization / common-subexpression
+  * elimination dedupe repeated references (an `Array` field compares by
+  * identity and would defeat CSE). The primitive `long[][]` the loop
+  * runs on is derived once per expression instance.
   */
-case class KMeansArgminExpr(child: Expression, cents: Array[Array[Long]])
+case class KMeansArgminExpr(child: Expression, cents: Seq[Seq[Long]])
     extends UnaryExpression with ExpectsInputTypes {
+
+  // the eval-time form: one contiguous primitive matrix, built once per
+  // expression instance (and once per codegen'd plan as a referenced
+  // object), never per row
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
 
   override def dataType: DataType = StructType(Seq(
     StructField("dist2", LongType, nullable = false),
@@ -40,10 +56,10 @@ case class KMeansArgminExpr(child: Expression, cents: Array[Array[Long]])
   override def inputTypes = Seq(ArrayType(LongType))
 
   override def nullSafeEval(input: Any): Any =
-    KMeansArgminExpr.best(input.asInstanceOf[ArrayData], cents)
+    KMeansArgminExpr.best(input.asInstanceOf[ArrayData], centsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("kmeansCents", cents, "long[][]")
+    val ref = ctx.addReferenceObj("kmeansCents", centsArr, "long[][]")
     val obj = KMeansArgminExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
     defineCodeGen(ctx, ev, c => s"$obj.best($c, $ref)")
   }
@@ -55,20 +71,24 @@ case class KMeansArgminExpr(child: Expression, cents: Array[Array[Long]])
 object KMeansArgminExpr {
 
   /** Shared by interpreted eval and generated code: one tight
-    * (k × dim) integer loop per row. */
+    * (k × dim) integer loop per row, after a single per-row dim check. */
   def best(v: ArrayData, cents: Array[Array[Long]]): InternalRow = {
     val k = cents.length
+    val dim = cents(0).length
+    // checked once per row, outside the k loop: shorter AND longer
+    // vectors both throw (truncating a long vector would silently
+    // diverge from the literal arm, which null-poisons ragged rows)
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"kmeans_argmin: vector length ${v.numElements()} != centroid dim $dim")
     var bestD = Long.MaxValue
     var bestJ = 0
     var j = 0
     while (j < k) {
       val c = cents(j)
-      if (v.numElements() < c.length)
-        throw new IllegalArgumentException(
-          s"kmeans_argmin: vector shorter than dim=${c.length}")
       var d = 0L
       var i = 0
-      while (i < c.length) {
+      while (i < dim) {
         val t = v.getLong(i) - c(i)
         d += t * t
         i += 1
@@ -79,7 +99,11 @@ object KMeansArgminExpr {
     new GenericInternalRow(Array[Any](bestD, bestJ))
   }
 
-  def apply(v: Column, cents: Array[Array[Long]]): Column =
+  def apply(v: Column, cents: Array[Array[Long]]): Column = {
+    require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+      "kmeans_argmin: centroid matrix must be non-empty and rectangular")
     ColumnBridge.column(
-      new KMeansArgminExpr(ColumnBridge.expression(v), cents))
+      new KMeansArgminExpr(ColumnBridge.expression(v),
+        cents.map(_.toSeq).toSeq))
+  }
 }

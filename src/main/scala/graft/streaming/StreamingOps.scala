@@ -221,6 +221,70 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuous NEAR-dup ingestion: the streaming face of
+    * [[graft.operators.Dedup.applyMinhashIncremental]]. Each
+    * micro-batch is deduped against the PERSISTED MinHash ledger
+    * (signatures of every doc kept so far — numHashes longs per doc,
+    * the history corpus is never rescanned), survivors' signatures are
+    * appended to the ledger, and the kept rows are handed to `emit`.
+    * This is the production shape of the batch ledger pipeline
+    * (`q_dedup_minhash_inc`): a corpus that ingests continuously keeps
+    * ONE ledger across micro-batches instead of re-deriving history.
+    *
+    * Durability/idempotence under foreachBatch's at-least-once
+    * contract: each batch's signatures land in their own
+    * `batch=<batchId>` partition dir, written overwrite-mode, and the
+    * ledger read EXCLUDES the current batchId — so a re-run of a
+    * failed batch (same batchId) neither dedups the batch against its
+    * own half-written signatures nor appends them twice. State size is
+    * ∝ kept docs × numHashes longs, on disk, not in executor memory —
+    * the 100 TB-corpus answer (keyed-store state would pin the whole
+    * history signature table into the state backend).
+    *
+    * `emit` receives the kept rows of each batch (write them to the
+    * output table); signature write precedes emit so an emit-side
+    * failure re-runs the whole batch cleanly. */
+  def dedupMinhashStream(docs: DataFrame, idCol: String, textCol: String,
+                         ledgerDir: String, checkpointDir: String,
+                         emit: DataFrame => Unit,
+                         w: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                         threshold: Double = 0.5,
+                         trigger: org.apache.spark.sql.streaming.Trigger =
+                           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // prior batches' signature dirs — FS-agnostic listing (the
+        // ledger can live on any Hadoop-visible store), current batchId
+        // excluded for re-run idempotence
+        val path = new org.apache.hadoop.fs.Path(ledgerDir)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prior: Seq[String] =
+          if (!fs.exists(path)) Nil
+          else fs.listStatus(path).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+            .filter(_.getPath.getName != s"batch=$batchId")
+            .map(_.getPath.toString)
+        val ledger =
+          if (prior.isEmpty) // typed-empty: same schema as a real ledger
+            Dedup.minhashLedgerOf(batch.limit(0), idCol, textCol, w, numHashes)
+          else s.read.parquet(prior: _*)
+        val kept = Dedup.applyMinhashIncremental(
+          batch, idCol, textCol, ledger, w, numHashes, bands, threshold)
+          .localCheckpoint() // consumed twice: signature write + emit
+        Dedup.minhashLedgerOf(kept, idCol, textCol, w, numHashes)
+          .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        emit(kept)
+        ()
+      }
+      .start()
+  }
+
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

@@ -99,6 +99,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.select("cluster").distinct().count() > 1L)
   }
 
+  test("KMeansArgminExpr: structural semanticEquals (CSE-dedupable) and ragged-input rejection") {
+    import graft.functions.KMeansArgminExpr
+    // two expressions built from EQUAL-but-distinct matrices must be
+    // semanticEquals — an identity-compared Array field would defeat
+    // canonicalization/common-subexpression elimination, evaluating the
+    // same argmin twice when its column is referenced twice
+    def mat() = Array(Array(1L, 2L), Array(3L, 4L))
+    // equal catalyst children (Literals compare structurally; Column
+    // wrappers carry call-site Origins that differ by construction)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def child() = Literal.create(Seq(9L, 9L), ArrayType(LongType))
+    val a = KMeansArgminExpr(child(), mat().map(_.toSeq).toSeq)
+    val b = KMeansArgminExpr(child(), mat().map(_.toSeq).toSeq)
+    assert(a == b && a.semanticEquals(b) && a.hashCode == b.hashCode)
+    // ragged vectors throw in BOTH directions: a longer vector must not
+    // be silently truncated to dim (the literal arm null-poisons it —
+    // silent truncation would make the two arms quietly diverge)
+    val vecs = Seq((0L, Array(1L, 2L)), (1L, Array(1L, 2L, 3L))).toDF("vid", "vq")
+    val long = intercept[Exception] {
+      vecs.select(KMeansArgminExpr(col("vq"), mat())).collect()
+    }
+    assert(String.valueOf(long.getMessage)
+      .contains("kmeans_argmin: vector length") ||
+      String.valueOf(long.getCause).contains("kmeans_argmin: vector length"))
+    val short = intercept[Exception] {
+      Seq((0L, Array(1L))).toDF("vid", "vq")
+        .select(KMeansArgminExpr(col("vq"), mat())).collect()
+    }
+    assert(String.valueOf(short.getMessage)
+      .contains("kmeans_argmin: vector length") ||
+      String.valueOf(short.getCause).contains("kmeans_argmin: vector length"))
+  }
+
   test("kmeansAssign keeps an emptied cell's previous centroid") {
     // k=3 over 3 points where two init centroids coincide: cell 1
     // can never win a tie against cell 0 (equal dist2, higher index)

@@ -219,6 +219,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(1L, 3L))
   }
 
+  test("dedupMinhashStream: batch 2 dedups against batch 1's persisted ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhstream_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs now"
+    val textC = "sphinx of black quartz judge my vow again today"
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupMinhashStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt").toString,
+      emit = b => kept.synchronized {
+        kept ++= b.select("doc_id").as[Long].collect()
+      },
+      w = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    // batch 1: two distinct docs — both kept, both enter the ledger
+    in.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    assert(kept.toSet === Set(1L, 2L))
+    // batch 2: doc 3 duplicates HISTORY doc 1 (cross-batch: only the
+    // persisted ledger can catch it), docs 4/5 duplicate each other
+    // WITHIN the batch (min id kept)
+    in.addData((3L, textA), (4L, textC), (5L, textC))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.toSet === Set(1L, 2L, 4L))
+    // the ledger holds exactly the kept docs' signatures, one batch=N
+    // partition per micro-batch (numHashes longs per doc, no text)
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.select("doc").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    // doc + s0..s15 (+ the batch=N partition column the root-dir read
+    // discovers; the operator's own ledger read passes leaf dirs, so
+    // applyMinhashIncremental sees exactly the 17 signature columns)
+    assert(ledger.drop("batch").columns.length === 17)
+  }
+
   test("followWithinJoin: stream-stream join == batch join (views → purchases)") {
     import spark.implicits._
     val ev = Tables(spark, sf, "events")

@@ -36,8 +36,26 @@ estimator. The prior's query set must be a subset of the runs' set
 (prior-only queries are unverified at the current HEAD and are
 rejected); provenance is recorded in the output's "runs" list.
 """
+import datetime
 import json
+import subprocess
 import sys
+
+
+def provenance():
+    """HEAD sha + UTC timestamp for the artifact (round-11 verdict:
+    artifacts without provenance are indistinguishable from stale
+    number bumps). Best-effort on the sha: a merge run outside a git
+    checkout still produces a stamped artifact."""
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        sha = None
+    return {"head_sha": sha,
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")}
 
 
 def main():
@@ -45,11 +63,16 @@ def main():
     prior_path = None
     fresh_path = None
     while args and args[0] in ("--merge-prior", "--fresh"):
+        if len(args) < 2:
+            raise SystemExit(f"{args[0]} requires a value\n\n{__doc__}")
         if args[0] == "--merge-prior":
             prior_path = args[1]
         else:
             fresh_path = args[1]
         args = args[2:]
+    # >= 2 runs + out normally; --merge-prior supplies extra data so 1
+    # run + out suffices there. --fresh only NAMES one of the runs, it
+    # does not supply one, so it never relaxes the positional minimum.
     if len(args) < (2 if prior_path else 3):
         raise SystemExit(__doc__)
     *run_paths, out_path = args
@@ -92,6 +115,7 @@ def main():
                                "queries; see commit message for the HEAD range)"}]
     artifact = {
         "metric": "total",
+        **provenance(),
         "value": round(sum(merged.values()), 4),
         "unit": "sec",
         "queries": merged,

@@ -21,9 +21,25 @@ Usage:
         [--merge-into existing.json] [--x100 x100.json --x100-replicas 100]
 """
 import argparse
+import datetime
 import json
 import re
+import subprocess
 import sys
+
+
+def provenance():
+    """HEAD sha + UTC timestamp (round-11 verdict: unstamped artifacts
+    are indistinguishable from stale number bumps)."""
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        sha = None
+    return {"head_sha": sha,
+            "generated_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")}
 
 
 def load_runs(spec, side, expected_replicas):
@@ -157,6 +173,7 @@ def main():
     ratios = [v["ratio"] for v in queries.values() if v.get("ratio") is not None]
     artifact = {
         "metric": f"stress_{args.replicas}x",
+        **provenance(),
         "unit": "sec",
         "replicas": args.replicas,
         "shuffle_partitions": 200,
@@ -181,7 +198,8 @@ def main():
         if kept:
             artifact[f"x{args.x100_replicas}_probes"] = kept
     if args.x100:
-        x100, _ = min_merge(load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
+        x100, x100_rows = min_merge(
+            load_runs(args.x100, f"x{args.x100_replicas}", args.x100_replicas))
         # start from probes carried by --keep-x100 (if any); fresh runs
         # overwrite per-probe entries
         probes = dict(artifact.get(f"x{args.x100_replicas}_probes", {}))
@@ -192,12 +210,23 @@ def main():
                 print(f"WARNING: x100 probe {name}={sec:.3f}s implausible — dropped",
                       file=sys.stderr)
                 continue
-            probes[name] = {
+            entry = {
                 "sf0.1_sec": round(base[name], 3),
                 f"x{args.x100_replicas}_sec": round(sec, 3),
                 "ratio": round(sec / base[name], 1) if base[name] > 0 else None,
                 "linear_bound": args.x100_replicas,
             }
+            # same output normalization the x10 entries carry (round-11
+            # verdict item 3): a big raw ratio with proportionally-grown
+            # output is output-bound work, not super-linearity — the
+            # artifact should say so itself instead of needing prose
+            if name in base_rows and name in x100_rows and base_rows[name] > 0 \
+                    and x100_rows[name] > 0 and base[name] > 0:
+                entry["out_rows_1x"] = base_rows[name]
+                entry[f"out_rows_x{args.x100_replicas}"] = x100_rows[name]
+                entry["ratio_per_outrow"] = round(
+                    (sec / x100_rows[name]) / (base[name] / base_rows[name]), 2)
+            probes[name] = entry
         artifact[f"x{args.x100_replicas}_probes"] = probes
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
