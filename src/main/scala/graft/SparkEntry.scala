@@ -951,9 +951,19 @@ object SparkEntry {
     // date; commit/receipt dates are absent from this schema). The
     // EXISTS decorrelates to a left-semi hash join on the order key
     // with the lateness predicate riding as an extra join condition —
-    // no nested loop, fact side shuffles once on o_orderkey.
+    // no nested loop, fact side shuffles once on o_orderkey. The
+    // l_shipdate bound below is IMPLIED (o_orderdate >= 1996-01-01 ∧
+    // l_shipdate > o_orderdate + 30d ⇒ l_shipdate > 1996-01-31) but
+    // Catalyst cannot derive range constraints through a join
+    // condition, so without it the semi-join shuffles EVERY lineitem
+    // row on l_orderkey — the whole fact table re-keyed to probe a
+    // one-quarter slice of orders (the r11 stress artifact's worst
+    // non-output-explained ratio, 7.76/10). Stated at the scan it
+    // reaches PushedFilters and prunes the shuffle to the late tail.
     "q_tpch_q4" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("lk"), col("l_shipdate"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-31").cast("timestamp"))
+        .select(col("l_orderkey").as("lk"), col("l_shipdate"))
       t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
