@@ -253,15 +253,58 @@ object StreamingOps {
                            org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
+    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit)(
+      ledgerOf = b => Dedup.minhashLedgerOf(b, idCol, textCol, w, numHashes),
+      dedup = (batch, ledger) => Dedup.applyMinhashIncremental(
+        batch, idCol, textCol, ledger, w, numHashes, bands, threshold))
+  }
+
+  /** Continuous EXACT-dup ingestion: the streaming face of
+    * [[graft.operators.Dedup.applyExactIncremental]], with the same
+    * per-batch `batch=N` ledger layout, re-run idempotence, and
+    * on-disk (not state-store) history as [[dedupMinhashStream]] —
+    * the ledger rows are single md5 fingerprints instead of MinHash
+    * signatures, so the anti-join shuffles ~32 bytes per historical
+    * doc. Within a batch the min-id row per fingerprint is kept. */
+  def dedupExactStream(docs: DataFrame, idCol: String, textCol: String,
+                       ledgerDir: String, checkpointDir: String,
+                       emit: DataFrame => Unit,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit)(
+      ledgerOf = b => Dedup.ledgerOf(b, textCol),
+      dedup = (batch, ledger) =>
+        Dedup.applyExactIncremental(batch, idCol, textCol, ledger))
+  }
+
+  /** Shared foreachBatch plumbing of the ledgered dedup streams:
+    * dedup each micro-batch against all PRIOR batches' persisted
+    * ledger partitions, write the survivors' ledger rows to this
+    * batch's own `batch=<batchId>` dir (overwrite-mode + the
+    * current-batch exclusion below make a re-run of a failed batch —
+    * same batchId under foreachBatch's at-least-once contract —
+    * neither dedup the batch against its own half-written rows nor
+    * append them twice), then hand the kept rows to `emit`. The
+    * signature write precedes emit so an emit-side failure re-runs
+    * the whole batch cleanly. History lives on disk, never in the
+    * state store — at 100 TB the ledger is a table, not keyed state. */
+  private def ledgerStream(docs: DataFrame, ledgerDir: String,
+                           checkpointDir: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger,
+                           emit: DataFrame => Unit)(
+                           ledgerOf: DataFrame => DataFrame,
+                           dedup: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // prior batches' signature dirs — FS-agnostic listing (the
-        // ledger can live on any Hadoop-visible store), current batchId
-        // excluded for re-run idempotence
+        // prior batches' ledger dirs — FS-agnostic listing (the ledger
+        // can live on any Hadoop-visible store)
         val path = new org.apache.hadoop.fs.Path(ledgerDir)
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         val prior: Seq[String] =
@@ -271,19 +314,16 @@ object StreamingOps {
             .filter(_.getPath.getName != s"batch=$batchId")
             .map(_.getPath.toString)
         val ledger =
-          if (prior.isEmpty) // typed-empty: same schema as a real ledger
-            Dedup.minhashLedgerOf(batch.limit(0), idCol, textCol, w, numHashes)
+          if (prior.isEmpty) ledgerOf(batch.limit(0)) // typed-empty
           else s.read.parquet(prior: _*)
-        val kept = Dedup.applyMinhashIncremental(
-          batch, idCol, textCol, ledger, w, numHashes, bands, threshold)
-          .localCheckpoint() // consumed twice: signature write + emit
-        Dedup.minhashLedgerOf(kept, idCol, textCol, w, numHashes)
+        val kept = dedup(batch, ledger)
+          .localCheckpoint() // consumed twice: ledger write + emit
+        ledgerOf(kept)
           .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
         emit(kept)
         ()
       }
       .start()
-  }
 
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._

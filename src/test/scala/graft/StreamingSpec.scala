@@ -258,6 +258,34 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.drop("batch").columns.length === 17)
   }
 
+  test("dedupExactStream: cross-batch exact dup dropped via the fingerprint ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exstream_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupExactStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt").toString,
+      emit = b => kept.synchronized {
+        kept ++= b.select("doc_id").as[Long].collect()
+      })
+    in.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    // batch 2: doc 3 = exact dup of HISTORY doc 1; docs 4/5 dup each
+    // other within the batch (min id kept); doc 6 fresh
+    in.addData((3L, "alpha"), (4L, "gamma"), (5L, "gamma"), (6L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.toSet === Set(1L, 2L, 4L, 6L))
+    // ledger = one md5 fingerprint per kept content, per-batch partitions
+    val ledger = spark.read.parquet(ledgerDir)
+    assert(ledger.count() === 4L)
+    assert(ledger.drop("batch").columns.toSeq === Seq("fp"))
+  }
+
   test("followWithinJoin: stream-stream join == batch join (views → purchases)") {
     import spark.implicits._
     val ev = Tables(spark, sf, "events")
