@@ -220,6 +220,35 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A12-approx: MAD fences from the GK sketch (the 100 TB arm of the
+    // madOutliers dispatch — exact per-group medians buffer each
+    // group's values; the sketch partial-merges map-side). Same
+    // bound-check contract as the other approx twins: the approx
+    // median must land within ±1% rank of the exact median, and the
+    // approx MAD within ±1% rank of the exact residual median (both
+    // asserted TRUE); n is the exact integer row count.
+    "q_mad_outliers_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ap = Profile.madOutliers(li, "l_quantity", Seq("l_returnflag"),
+        k = 1.5, approx = true)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          min("_med").as("_amed"), min("_mad").as("_amad"))
+      val exMed = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("_emed"),
+        expr("percentile(l_quantity, array(0.49, 0.51))").as("em"))
+      val exMad = li.join(exMed.select("l_returnflag", "_emed"), "l_returnflag")
+        .withColumn("_edev", abs(col("l_quantity") - col("_emed")))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(_edev, array(0.49, 0.51))").as("ed"))
+      ap.join(exMed.select("l_returnflag", "em"), "l_returnflag")
+        .join(exMad, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("_amed") >= col("em")(0) && col("_amed") <= col("em")(1)).as("med_ok"),
+          (col("_amad") >= col("ed")(0) && col("_amad") <= col("ed")(1)).as("mad_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // A11: per-group feature scaling (z-score + min-max). The raw
     // scores are bit-identical cross-engine (decimal-exact sums →
     // IEEE-determined doubles), quantized with floor(x·1e6) — integer
@@ -2107,6 +2136,13 @@ object SparkEntry {
         |  ROUND(MIN(d.m), 6) AS med, ROUND(MIN(md.mv), 6) AS mad_val
         |FROM d JOIN md USING (l_returnflag)
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    // same bound-check contract as the other sketch twins: the oracle
+    // pins med_ok/mad_ok TRUE; n is the exact per-group row count
+    "q_mad_outliers_approx" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS med_ok, TRUE AS mad_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a8_percentiles" ->
       """SELECT l_returnflag,

@@ -106,7 +106,10 @@ object StressSmoke {
     // canonical full-corpus query as-is (embeddings replicate)
     "q_span_dedup", "q_er_match", "q_kmeans",
     // round 11: the large-k fused-argmin arm on the replicated corpus
-    "q_kmeans_large")
+    "q_kmeans_large",
+    // round 12: the sketch-MAD arm (the 100 TB answer to the exact
+    // double-median's 30.6/100 x100 probe — heaviest flat-output probe)
+    "q_mad_outliers_approx")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -115,16 +115,30 @@ object Profile {
     * median interpolation lands on exactly-representable halves
     * (integer-valued doubles — counts, quantities): every downstream
     * op (−, abs, ·k, >) is then IEEE-exact, so the outlier decision
-    * itself carries no rounding haze. */
+    * itself carries no rounding haze.
+    *
+    * `approx = true` swaps both medians for the Greenwald–Khanna
+    * sketch (`approx_percentile`, ±1/`accuracy` rank error) — the
+    * 100 TB arm, same dispatch as [[winsorize]]: the exact `median`
+    * buffers each group's values to select the middle (the round-12
+    * x100 probe reads 30.6/100 on it — sub-linear but the heaviest
+    * flat-output probe), while the sketch partial-aggregates map-side
+    * and shuffles fixed-size state per group. The exact arm stays the
+    * oracle ground truth; the fence decision still uses the same
+    * IEEE-exact ops on whichever bounds arm produced them. */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                  k: Double = 3.0): DataFrame = {
+                  k: Double = 3.0, approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    val med = df.groupBy(groupCols.map(col): _*)
-      .agg(median(col(valueCol)).as("_med"))
-    val withMed = joinBounds(df, med, groupCols)
+    def med(c: Column): Column =
+      if (approx) percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
+      else median(c)
+    val medT = df.groupBy(groupCols.map(col): _*)
+      .agg(med(col(valueCol)).as("_med"))
+    val withMed = joinBounds(df, medT, groupCols)
       .withColumn("_absdev", abs(col(valueCol) - col("_med")))
     val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(median(col("_absdev")).as("_mad"))
+      .agg(med(col("_absdev")).as("_mad"))
     joinBounds(withMed, mad, groupCols)
       .withColumn("is_outlier", col("_absdev") > lit(k) * col("_mad"))
   }

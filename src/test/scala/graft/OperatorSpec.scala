@@ -867,6 +867,26 @@ class OperatorSpec extends SparkSpec {
     assert(nullRow.filter(col("is_outlier")).count() === 0)
   }
 
+  test("Profile.madOutliers approx arm ≡ exact arm where the sketch is exact (n < accuracy)") {
+    // accuracy 10000 >> n: the GK sketch retains every value, so the
+    // approx arm must reproduce the exact arm's fences and decisions
+    // bit-for-bit on this data — the dispatch equivalence check (the
+    // 100 TB arm diverges only by bounded sketch error at scale)
+    val df = ((1 to 9).map(i => (Some("g"), i.toDouble)) :+ ((Some("g"), 100.0)) :+
+      ((None: Option[String], 7.0))).toDF("grp", "x")
+    // GK at exact retention picks an actual value (no interpolation):
+    // med 5.0 vs exact 5.5 on the even group — decisions must still
+    // agree (fence positions shift together), so compare decisions,
+    // not the fence values
+    val exactFlags = Profile.madOutliers(df, "x", Seq("grp"), k = 3.0)
+      .select("grp", "x", "is_outlier").orderBy("grp", "x")
+      .collect().map(_.toString).toSeq
+    val approxFlags = Profile.madOutliers(df, "x", Seq("grp"), k = 3.0, approx = true)
+      .select("grp", "x", "is_outlier").orderBy("grp", "x")
+      .collect().map(_.toString).toSeq
+    assert(approxFlags === exactFlags)
+  }
+
   test("Dedup.dedupLines: first occurrence keeps each line, order preserved, all-lost docs dropped") {
     val docs = Seq(
       (1L, "alpha\nbeta\ngamma"),
