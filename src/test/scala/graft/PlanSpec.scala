@@ -37,6 +37,23 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"), readSchema)
   }
 
+  test("Q4: the derived l_shipdate bound reaches the lineitem scan") {
+    // o_orderdate >= 1996-01-01 ∧ l_shipdate > o_orderdate + 30d imply
+    // l_shipdate > 1996-01-31, but Catalyst can't derive range
+    // constraints through the semi-join condition — the bound is
+    // stated at the scan (round 12; without it the semi-join shuffles
+    // EVERY lineitem row to probe one quarter of orders). This guard
+    // keeps the filter from being silently dropped in a refactor.
+    val plan = SparkEntry.queries("q_tpch_q4")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // l_shipdate exists only on the lineitem scan, so one assertion on
+    // the plan's pushed lines pins both the filter and its placement
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThan(l_shipdate,1996-01-31"),
+      s"derived bound not pushed to the scan:\n$pushed")
+  }
+
   test("J1 dim joins broadcast (no shuffle of the fact side)") {
     val plan = physicalPlan("q_j1_join3")
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
