@@ -220,6 +220,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // DSIR-style data selection (Xie et al. 2023): importance weight
+    // per doc = Σ_tokens ln(p̂_target/p̂_raw) over RollingFp-hashed
+    // feature buckets (add-one smoothing, 4096 buckets) — target model
+    // from one source slice, raw model from the whole corpus. The
+    // entire scorer INCLUDING the feature hash is SQL-reproducible
+    // (same fold family as the DetHash dedup arms). Selection rule:
+    // keep docs STRICTLY above the corpus-median weight — absolute
+    // weights carry a smoothing offset (buckets >> per-slice vocab),
+    // so thresholds must be relative. Both engines interpolate the
+    // median over the SAME 6dp-rounded doubles, so the comparison is
+    // on identical values.
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Sampling.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", buckets = 4096)
+        .select(col("doc_id"), col("n_tok"), round(col("w"), 6).as("w"))
+      scored.crossJoin(scored.agg(expr("percentile(w, 0.5)").as("_med")))
+        .select(col("doc_id"), col("n_tok"), col("w"),
+          (col("w") > col("_med")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // A12-approx: MAD fences from the GK sketch (the 100 TB arm of the
     // madOutliers dispatch — exact per-group medians buffer each
     // group's values; the sketch partial-merges map-side). Same
@@ -2136,6 +2158,37 @@ object SparkEntry {
         |  ROUND(MIN(d.m), 6) AS med, ROUND(MIN(md.mv), 6) AS mad_val
         |FROM d JOIN md USING (l_returnflag)
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    // the full DSIR scorer in SQL: identical RollingFp fold constants,
+    // identical smoothing, ln on the same rationals; w rounded 6dp on
+    // both sides and kept compares against the median of the SAME
+    // rounded values (quantile_cont ≡ Spark's exact percentile)
+    "q_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bk AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 144115188075855859) % 4096 AS b
+        |  FROM tok),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM bk GROUP BY b),
+        |tgt AS (
+        |  SELECT b, COUNT(*) AS ct FROM bk JOIN documents USING (doc_id)
+        |  WHERE source = 'src0' GROUP BY b),
+        |lam AS (
+        |  SELECT COALESCE(r.b, t.b) AS b,
+        |    ln(COALESCE(t.ct, 0) + 1.0) - ln((SELECT SUM(ct) FROM tgt) + 4096.0)
+        |    - ln(COALESCE(r.cr, 0) + 1.0) + ln((SELECT SUM(cr) FROM raw) + 4096.0) AS lam
+        |  FROM raw r FULL OUTER JOIN tgt t ON r.b = t.b),
+        |scored AS (
+        |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    ROUND(SUM(lam.lam), 6) AS w
+        |  FROM bk JOIN lam ON bk.b = lam.b
+        |  GROUP BY bk.doc_id)
+        |SELECT doc_id, n_tok, w,
+        |  (w > (SELECT quantile_cont(w, 0.5) FROM scored)) AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // same bound-check contract as the other sketch twins: the oracle
     // pins med_ok/mad_ok TRUE; n is the exact per-group row count

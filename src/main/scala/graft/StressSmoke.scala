@@ -109,7 +109,9 @@ object StressSmoke {
     "q_kmeans_large",
     // round 12: the sketch-MAD arm (the 100 TB answer to the exact
     // double-median's 30.6/100 x100 probe — heaviest flat-output probe)
-    "q_mad_outliers_approx")
+    // and the DSIR importance scorer (two explode→agg model passes +
+    // a broadcast-λ scoring pass — linear by construction)
+    "q_mad_outliers_approx", "q_dsir_select")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

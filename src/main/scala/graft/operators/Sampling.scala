@@ -190,4 +190,60 @@ object Sampling {
       .filter(col("_cum") <= budget)
       .drop("_cum")
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how target-like its
+    * hashed token distribution is — w(doc) = Σ_tokens [ln p̂_target(b)
+    * − ln p̂_raw(b)] over hashed feature buckets b, with add-one
+    * smoothing on both unigram bucket models. Positive w = the doc
+    * looks more like the target sample than like the raw corpus
+    * average; select by thresholding or top-k on w.
+    *
+    * Feature hashing uses the transparent [[graft.functions.RollingFp]]
+    * fold mod `buckets` — the same SQL-reproducible family the DetHash
+    * dedup arms use, so the whole scorer (hashing included) runs under
+    * the DuckDB oracle.
+    *
+    * Scale shape: each model is one explode → two-level aggregate
+    * (partial map-side; the shuffle carries ≤ `buckets` rows), the
+    * log-ratio table is ≤ `buckets` rows broadcast to the scoring
+    * pass, and the per-doc sum partial-aggregates map-side (a doc's
+    * tokens are co-located after explode), so the scoring shuffle is
+    * one row per document. The target sample is typically small
+    * (that's the method's point) but nothing here requires it.
+    * Returns (idCol, n_tok, w); docs with NULL text carry no tokens
+    * and are dropped (corpus noise, same contract as the text suite).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    import graft.functions.{RollingFp, Text}
+    def bucketCounts(df: DataFrame, tc: String): DataFrame =
+      df.select(explode(Text.tokens(col(tc))).as("_tok"))
+        .select(pmod(RollingFp(col("_tok")), lit(buckets.toLong)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+    val raw = bucketCounts(docs, textCol)
+      .withColumnRenamed("c", "cr")
+    val tgt = bucketCounts(target, targetTextCol)
+      .withColumnRenamed("c", "ct")
+    // one-row totals ride as crossJoin'd literals (broadcast-1-row)
+    val nr = raw.agg(sum("cr").as("nr"))
+    val nt = tgt.agg(sum("ct").as("nt"))
+    val lam = raw.join(tgt, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(nr).crossJoin(nt)
+      .select(col("b"),
+        (log(col("ct") + 1.0) - log(col("nt") + lit(buckets.toDouble)) -
+          log(col("cr") + 1.0) + log(col("nr") + lit(buckets.toDouble)))
+          .as("_lam"))
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("_tok"))
+      .withColumn("b", pmod(RollingFp(col("_tok")), lit(buckets.toLong)))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("_lam").as("w"))
+  }
 }

@@ -867,6 +867,27 @@ class OperatorSpec extends SparkSpec {
     assert(nullRow.filter(col("is_outlier")).count() === 0)
   }
 
+  test("Sampling.dsirWeights: target-like docs score positive, off-target negative") {
+    // raw corpus = two disjoint vocabularies; target sample = only the
+    // fruit vocabulary → every fruit doc must strictly outscore every
+    // animal doc (the animal buckets have ct = 0, smoothing only).
+    // Absolute signs are NOT asserted: with buckets >> vocabulary the
+    // add-one mass shifts all weights by a common negative offset —
+    // selection is by ranking/threshold, which only needs the order.
+    val docs = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "banana cherry apple banana"),
+      (3L, "dog emu fox dog"),
+      (4L, "emu fox dog emu")).toDF("doc_id", "text")
+    val target = Seq((10L, "apple banana cherry")).toDF("doc_id", "text")
+    val w = graft.operators.Sampling
+      .dsirWeights(docs, "doc_id", "text", target, "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    assert(w.values.forall(_._1 === 4L)) // n_tok
+    assert(math.min(w(1L)._2, w(2L)._2) > math.max(w(3L)._2, w(4L)._2), w.toString)
+  }
+
   test("Profile.madOutliers approx arm ≡ exact arm where the sketch is exact (n < accuracy)") {
     // accuracy 10000 >> n: the GK sketch retains every value, so the
     // approx arm must reproduce the exact arm's fences and decisions

@@ -190,10 +190,11 @@ class PlanSpec extends SparkSpec {
     // (the scalar avg-balance / total-value threshold): O(N·1) — a
     // broadcast scalar, not a join. q_lm_score (1-row reference-vocab
     // aggregate V) and q_domain_shift (1-row corpus token total) are
-    // the same class: a broadcast scalar riding every row.
+    // the same class: a broadcast scalar riding every row, as is
+    // q_dsir_select (1-row model totals + 1-row median threshold).
     val boundedBroadcastByDesign =
       Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11", "q_lm_score",
-        "q_domain_shift")
+        "q_domain_shift", "q_dsir_select")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)
