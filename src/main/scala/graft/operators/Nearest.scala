@@ -112,10 +112,30 @@ object Nearest {
     * union of distinct right ticks and distinct left ticks (two
     * running `last` windows), and the answer map joins back to the
     * left via plain equi-joins. Every corpus-sized step is a shuffle
-    * on the tick key; the only global-window input is the DISTINCT
-    * tick set, which is bounded by the VALUE DOMAIN (fixed-point money
-    * has ≤ ~1M possible ticks), not by row count — at 100 TB it is
+    * on the tick key; the sweep's input is the DISTINCT tick set,
+    * which is bounded by the VALUE DOMAIN (fixed-point money has
+    * ≤ ~1M possible ticks), not by row count — at 100 TB it is
     * exactly as big as at 1 GB.
+    *
+    * The sweep itself is PARTITIONED (round 13): the tick domain is
+    * range-bucketed into ≤ `maxBuckets` equal-width ranges (bucketing
+    * is monotone in the tick, so within-bucket order is global order),
+    * the two running-`last` windows partition by the bucket id, and
+    * the cross-bucket handoff — the last right tick below a bucket /
+    * the first right tick above it — rides a per-bucket carry table:
+    * one `max`/`min` aggregate per bucket, collected (≤ `maxBuckets`
+    * rows, the same O(k)-driver-literal pattern as the k-means
+    * centroids), prefix/suffix-scanned on the driver, and broadcast
+    * back as `(bucket, predCarry, succCarry)`. A probe's pred is its
+    * within-bucket `last`, or the carry when its bucket has no right
+    * tick at or below it — the within-bucket candidate is always ≥
+    * the carry tick, so `coalesce(within, carry)` IS the global pred
+    * (symmetrically for succ). No stage is single-partition: the
+    * engine's former lone `WindowExec: No Partition Defined` stage is
+    * gone (PlanSpec pins the whole registry window-partitioned). The
+    * distinct-tick union is localCheckpointed — it feeds the domain
+    * min/max probe, the carry aggregate, and the sweep, and must not
+    * re-derive its corpus-sized parents three times.
     *
     * Correctness of the sweep: tick distance is monotone in |Δtick|,
     * so the minimal distance d* is attained at the nearest distinct
@@ -123,12 +143,14 @@ object Nearest {
     * per-tick min key and the smaller wins — identical to the packed
     * `min(long)` of [[nearestJoinQuantized]]. Exact under the same
     * fixed-point contract (values are multiples of 1/invQuantum up to
-    * float noise ≪ 1/invQuantum). Left rows find no winner only when
-    * `right` is empty (they drop, as in an inner join). `_dist` is
-    * recomputed full-precision after the join-back. */
+    * float noise ≪ 1/invQuantum; tick span must fit a long). Left
+    * rows find no winner only when `right` is empty (they drop, as in
+    * an inner join). `_dist` is recomputed full-precision after the
+    * join-back. */
   def nearestJoinTicks1D(left: DataFrame, right: DataFrame,
                          leftVal: Column, rightVal: Column, rightKey: String,
-                         invQuantum: Double): DataFrame = {
+                         invQuantum: Double, maxBuckets: Int = 1024): DataFrame = {
+    require(maxBuckets > 0, s"need maxBuckets > 0, got $maxBuckets")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
     // null left values are dropped HERE, not left to the final equi-join:
@@ -146,21 +168,74 @@ object Nearest {
       .select(round(rightVal * lit(invQuantum)).cast("long").as("_tick"), col(rightKey))
       .filter(col("_tick").isNotNull)
       .groupBy("_tick").agg(min(col(rightKey)).as("_mk"))
+    val mkType = sAgg.schema("_mk").dataType
     val qT = lt.select(col("_ltick").as("_tick")).distinct()
-      .withColumn("_mk", lit(null).cast(sAgg.schema("_mk").dataType))
+      .withColumn("_mk", lit(null).cast(mkType))
       .withColumn("_isq", lit(1))
-    val un = sAgg.withColumn("_isq", lit(0)).unionByName(qT)
+    // read 3× below (domain probe, carry aggregate, sweep) — checkpoint
+    // so the corpus-sized parents run once; the union itself is the
+    // domain-bounded distinct-tick set, cheap to materialize
+    val un = sAgg.withColumn("_isq", lit(0)).unionByName(qT).localCheckpoint()
+    // range-bucket the tick domain: equal-width buckets over [lo, hi],
+    // id = (tick − lo) div width — monotone, so bucket order is tick
+    // order and a carry from a lower bucket is strictly below every
+    // tick in this one. The domain probe is a 1-row aggregate.
+    val mm = un.agg(min("_tick"), max("_tick")).head()
+    val bLo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val bHi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    val width = math.max(1L, (bHi - bLo) / maxBuckets + 1L)
+    val un2 = un.withColumn("_b", expr(s"(_tick - (${bLo}L)) div ${width}L"))
     // right rows sort before a left probe at the same tick (_isq asc),
     // so a same-tick right match is visible to both sweeps (d = 0)
     val cand = when(col("_isq") === 0, struct(col("_tick"), col("_mk")))
-    val wUp = Window.orderBy(col("_tick").asc, col("_isq").asc)
+    // per-bucket carry: last/first right candidate of each bucket,
+    // prefix/suffix-scanned on the driver (≤ maxBuckets rows)
+    val summ = un2.groupBy("_b")
+      .agg(max(cand).as("_bhi"), min(cand).as("_blo"))
+      .collect().sortBy(_.getLong(0))
+    val n = summ.length
+    val pc = new Array[Any](n)
+    val sc = new Array[Any](n)
+    var run: Any = null
+    var i = 0
+    while (i < n) { // pred carry: latest right candidate of LOWER buckets
+      pc(i) = run
+      if (!summ(i).isNullAt(1)) run = summ(i).getStruct(1)
+      i += 1
+    }
+    run = null
+    i = n - 1
+    while (i >= 0) { // succ carry: earliest right candidate of HIGHER buckets
+      sc(i) = run
+      if (!summ(i).isNullAt(2)) run = summ(i).getStruct(2)
+      i -= 1
+    }
+    val candType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_tick",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_mk", mkType)))
+    val carrySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_pc", candType),
+      org.apache.spark.sql.types.StructField("_sc", candType)))
+    val carryRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(summ.indices.map(j =>
+        org.apache.spark.sql.Row(summ(j).getLong(0), pc(j), sc(j))): _*)
+    val carry = left.sparkSession.createDataFrame(carryRows, carrySchema)
+    val wUp = Window.partitionBy(col("_b"))
+      .orderBy(col("_tick").asc, col("_isq").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDown = Window.orderBy(col("_tick").desc, col("_isq").asc)
+    val wDown = Window.partitionBy(col("_b"))
+      .orderBy(col("_tick").desc, col("_isq").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = un
-      .withColumn("_pred", last(cand, ignoreNulls = true).over(wUp))
-      .withColumn("_succ", last(cand, ignoreNulls = true).over(wDown))
+    val marked = un2
+      .withColumn("_pred0", last(cand, ignoreNulls = true).over(wUp))
+      .withColumn("_succ0", last(cand, ignoreNulls = true).over(wDown))
       .filter(col("_isq") === 1)
+      .join(broadcast(carry), Seq("_b"))
+      .withColumn("_pred", coalesce(col("_pred0"), col("_pc")))
+      .withColumn("_succ", coalesce(col("_succ0"), col("_sc")))
     val dPred = col("_tick") - col("_pred._tick")
     val dSucc = col("_succ._tick") - col("_tick")
     val winnerKey =

@@ -141,10 +141,12 @@ object Sampling {
     * shares match targets to hash-bucket granularity (±1e-6·n), not
     * exactly.
     *
-    * Scale shape: one tiny groupBy for counts, a 1-row global min for
-    * the binding scale, and a per-group rate dim broadcast onto the
-    * corpus — the corpus itself streams through one filter, no
-    * shuffle. */
+    * Scale shape: one tiny groupBy for the targeted-group counts
+    * (≤ |targets| rows, collected — bounded driver literals, the
+    * k-means-centroid pattern), the binding scale folded on the
+    * driver, and the per-group rates riding the corpus as a literal
+    * when-chain — the corpus itself streams through one filter; the
+    * plan has no join, no window, no shuffle. */
   def mixture(df: DataFrame, groupCol: String, idCol: String,
               targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
@@ -153,25 +155,32 @@ object Sampling {
       case (rest, (g, share)) =>
         when(col(groupCol) === g, lit(share)).otherwise(rest)
     }
+    // per-group counts of the TARGETED groups only: ≤ |targets| rows,
+    // collected to the driver (the same bounded O(k)-literal pattern
+    // as the k-means centroids — the binding scale is a fold over a
+    // handful of numbers, not a distributed computation). The corpus
+    // then streams through ONE filter of pure literal expressions: no
+    // join, no window, no shuffle anywhere in the plan (round 13 —
+    // this replaced a counts-dim global window, the guard class the
+    // plan-wide no-unpartitioned-window PlanSpec test now pins).
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_target", targetExpr)
       .filter(col("_target").isNotNull)
-    // binding scale via an un-partitioned window over the COUNTS dim —
-    // one row per targeted group, bounded by |targets|, so the single
-    // task is trivially safe (and the plan stays free of the cartesian
-    // join a 1-row scale table would need; the plan-wide scale guard
-    // keeps its empty whitelist)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val rates = counts
-      .withColumn("_T", min(col("_n").cast("double") / col("_target")).over(wAll))
-      .select(col(groupCol),
-        (col("_T") * col("_target") / col("_n").cast("double")).as("_rate"))
-    df.join(broadcast(rates), groupCol)
-      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
-        col("_rate") * lit(1000000L))
-      .drop("_rate")
+      .collect()
+    // binding scale T = min over groups of n/target; rate_g = T·target_g/n_g
+    // — the same double expressions the oracle SQL evaluates
+    val bindT =
+      if (counts.isEmpty) 0.0
+      else counts.map(r => r.getLong(1).toDouble / r.getDouble(2)).min
+    val rateExpr = counts.foldLeft(lit(null).cast("double")) { (rest, r) =>
+      when(col(groupCol) === lit(r.get(0)),
+        lit(bindT) * lit(r.getDouble(2)) / lit(r.getLong(1).toDouble))
+        .otherwise(rest)
+    }
+    // null rate = untargeted group → dropped (the former inner join)
+    df.filter(rateExpr.isNotNull &&
+      pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
+        rateExpr * lit(1000000L))
   }
 
   /** Budget-capped selection: per group, keep rows in `order` until

@@ -107,6 +107,24 @@ class OperatorSpec extends SparkSpec {
     assert(ticks === quant)
   }
 
+  test("J2 nearestJoinTicks1D bucketed sweep: cross-bucket carries agree with one bucket") {
+    val rnd = new scala.util.Random(41)
+    // sparse ticks over a wide domain so tiny maxBuckets forces most
+    // probes to resolve through the pred/succ CARRY path (right-empty
+    // buckets, boundary handoff), including ties at bucket edges
+    val left = (1 to 80).map(i => (i, rnd.nextInt(100000) / 100.0)).toDF("lid", "lx")
+    val right = (1 to 12).map(i => (i, rnd.nextInt(100000) / 100.0)).toDF("rid", "rx")
+    val dist = abs(col("lx") - col("rx"))
+    val quant = Nearest.nearestJoinQuantized(left, right, dist, "rid", invQuantum = 100)
+      .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+    for (mb <- Seq(1, 3, 7, 1024)) {
+      val ticks = Nearest.nearestJoinTicks1D(left, right,
+        col("lx"), col("rx"), "rid", invQuantum = 100, maxBuckets = mb)
+        .select("lid", "rid", "_dist").as[(Int, Int, Double)].collect().toSet
+      assert(ticks === quant, s"maxBuckets=$mb diverged")
+    }
+  }
+
   test("J2 nearestJoinTicks1D ≡ nearestJoinQuantized with null values on BOTH sides") {
     // null left values must drop (not pick up a spurious _succ winner);
     // null right values must be skipped (not become a null-tick _pred

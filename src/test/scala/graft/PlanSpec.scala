@@ -60,7 +60,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("J2 nearest-join argmin partial-aggregates map-side") {
-    val plan = physicalPlan("q_j2_nearest")
+    // q_j2_nearest's ticks kernel materializes its distinct-tick union
+    // behind a localCheckpoint (round 13), so its own partial_min runs
+    // inside the checkpoint job; pin the map-side combine on the packed
+    // quantized kernel, which is the same argmin reduction shape
+    val cust = Tables(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    val supp = Tables(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    val plan = Nearest.nearestJoinQuantized(cust, supp,
+      abs(col("c_acctbal") - col("s_acctbal")), "s_suppkey", invQuantum = 100)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_min"), plan.take(1500))
   }
 
@@ -209,6 +217,26 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("CartesianProduct") ||
         plan.contains("BroadcastNestedLoopJoin"), s"$name no longer cross-joins — drop it from the whitelist")
     }
+  }
+
+  test("scale guard: no un-partitioned Window operator anywhere in the registry") {
+    // Permanent gate for the round-13 fix: a Window with an empty
+    // partitionSpec single-tasks its whole input ("WindowExec: No
+    // Partition Defined"). The last one (the ticks-1D pred/succ sweep)
+    // moved to bucket-partitioned windows with a driver carry table —
+    // no registered query may ever plan one again. Checked on the
+    // optimized logical plan: Window survives 1:1 into WindowExec, and
+    // logical planning avoids executing queries (the ticks kernel runs
+    // two driver jobs at plan-build time either way).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val global = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"global (un-partitioned) Window in: $offenders")
   }
 
   test("Q21: EXISTS/NOT-EXISTS decorrelate to hash semi/anti joins, not BNLJ") {
