@@ -233,13 +233,51 @@ object SparkEntry {
     // on identical values.
     "q_dsir_select" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // localCheckpoint: the scored table feeds BOTH sides of the
+      // median cross-join — without it the two token explodes and two
+      // model aggregations run twice (round 13, same pattern as the
+      // minhash ledger). The exact percentile threshold is the ORACLE
+      // arm; q_dsir_select_approx is the 100 TB arm (sketch median,
+      // no single-reducer value buffer).
       val scored = Sampling.dsirWeights(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", buckets = 4096)
         .select(col("doc_id"), col("n_tok"), round(col("w"), 6).as("w"))
+        .localCheckpoint()
       scored.crossJoin(scored.agg(expr("percentile(w, 0.5)").as("_med")))
         .select(col("doc_id"), col("n_tok"), col("w"),
           (col("w") > col("_med")).as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // DSIR keep rule, sketch arm: the selection threshold comes from
+    // approx_percentile (GK sketch — map-side partial merge, no
+    // per-value reducer buffer; the 100 TB path VERDICT r12 asked
+    // for). Engine-specific sketch values can't hash-match an oracle,
+    // so the output is the established bound-check contract: the
+    // approx median must land inside the exact ±1%-rank band, and the
+    // approx-thresholded keep COUNT inside the exact counts at the
+    // band edges (threshold↑ ⇒ kept↓, so the band brackets it); both
+    // booleans pinned TRUE by the oracle, n is the exact doc count.
+    // The exact percentiles here are the verification pass, not the
+    // operator — the raw sketch arm is scored+approx_percentile only.
+    "q_dsir_select_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Sampling.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", buckets = 4096)
+        .select(col("doc_id"), round(col("w"), 6).as("w"))
+        .localCheckpoint()
+      val thr = scored.agg(
+        expr("approx_percentile(w, 0.5, 10000)").as("_amed"),
+        expr("percentile(w, array(0.49, 0.51))").as("eb"))
+      scored.crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("w") > col("_amed"), 1L).otherwise(0L)).as("_nk"),
+          sum(when(col("w") > col("eb")(1), 1L).otherwise(0L)).as("_n51"),
+          sum(when(col("w") > col("eb")(0), 1L).otherwise(0L)).as("_n49"),
+          min(col("_amed")).as("_am"), min(col("eb")).as("_eb"))
+        .select(col("n"),
+          (col("_am") >= col("_eb")(0) && col("_am") <= col("_eb")(1)).as("med_ok"),
+          (col("_nk") >= col("_n51") && col("_nk") <= col("_n49")).as("kept_ok"))
     }),
 
     // A12-approx: MAD fences from the GK sketch (the 100 TB arm of the
@@ -247,8 +285,11 @@ object SparkEntry {
     // group's values; the sketch partial-merges map-side). Same
     // bound-check contract as the other approx twins: the approx
     // median must land within ±1% rank of the exact median, and the
-    // approx MAD within ±1% rank of the exact residual median (both
-    // asserted TRUE); n is the exact integer row count.
+    // approx MAD within ±1% rank of the exact median of the residuals
+    // AROUND THE APPROX MEDIAN — the sketch's own input distribution
+    // (r12 ADVICE: a band from exact-median residuals would flake on
+    // data where the two medians differ); both asserted TRUE, n is
+    // the exact integer row count.
     "q_mad_outliers_approx" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val ap = Profile.madOutliers(li, "l_quantity", Seq("l_returnflag"),
@@ -257,17 +298,16 @@ object SparkEntry {
           count(lit(1)).as("n"),
           min("_med").as("_amed"), min("_mad").as("_amad"))
       val exMed = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_quantity, 0.5)").as("_emed"),
         expr("percentile(l_quantity, array(0.49, 0.51))").as("em"))
-      val exMad = li.join(exMed.select("l_returnflag", "_emed"), "l_returnflag")
-        .withColumn("_edev", abs(col("l_quantity") - col("_emed")))
+      val adev = li.join(ap.select("l_returnflag", "_amed"), "l_returnflag")
+        .withColumn("_adev", abs(col("l_quantity") - col("_amed")))
         .groupBy("l_returnflag")
-        .agg(expr("percentile(_edev, array(0.49, 0.51))").as("ed"))
-      ap.join(exMed.select("l_returnflag", "em"), "l_returnflag")
-        .join(exMad, "l_returnflag")
+        .agg(expr("percentile(_adev, array(0.49, 0.51))").as("ad"))
+      ap.join(exMed, "l_returnflag")
+        .join(adev, "l_returnflag")
         .select(col("l_returnflag"), col("n"),
           (col("_amed") >= col("em")(0) && col("_amed") <= col("em")(1)).as("med_ok"),
-          (col("_amad") >= col("ed")(0) && col("_amad") <= col("ed")(1)).as("mad_ok"))
+          (col("_amad") >= col("ad")(0) && col("_amad") <= col("ad")(1)).as("mad_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -2162,7 +2202,10 @@ object SparkEntry {
     // the full DSIR scorer in SQL: identical RollingFp fold constants,
     // identical smoothing, ln on the same rationals; w rounded 6dp on
     // both sides and kept compares against the median of the SAME
-    // rounded values (quantile_cont ≡ Spark's exact percentile)
+    // rounded values (quantile_cont ≡ Spark's exact percentile).
+    // TOTAL over documents (round 13): the scored CTE left-joins from
+    // documents so a tokenless (NULL-text) doc emits (0, 0.0) in both
+    // engines instead of vanishing from one.
     "q_dsir_select" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -2182,13 +2225,24 @@ object SparkEntry {
         |    - ln(COALESCE(r.cr, 0) + 1.0) + ln((SELECT SUM(cr) FROM raw) + 4096.0) AS lam
         |  FROM raw r FULL OUTER JOIN tgt t ON r.b = t.b),
         |scored AS (
-        |  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |    ROUND(SUM(lam.lam), 6) AS w
-        |  FROM bk JOIN lam ON bk.b = lam.b
-        |  GROUP BY bk.doc_id)
+        |  SELECT d.doc_id, CAST(COUNT(bk.b) AS BIGINT) AS n_tok,
+        |    ROUND(COALESCE(SUM(lam.lam), 0.0), 6) AS w
+        |  FROM documents d
+        |  LEFT JOIN bk ON d.doc_id = bk.doc_id
+        |  LEFT JOIN lam ON bk.b = lam.b
+        |  GROUP BY d.doc_id)
         |SELECT doc_id, n_tok, w,
         |  (w > (SELECT quantile_cont(w, 0.5) FROM scored)) AS kept
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // sketch-threshold twin: the oracle pins the GK-median bound
+    // checks TRUE and the doc count exact — a hash match means the
+    // approx threshold landed inside the ±1%-rank band AND its keep
+    // count inside the exact band-edge counts
+    "q_dsir_select_approx" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS med_ok, TRUE AS kept_ok
+        |FROM documents""".stripMargin,
 
     // same bound-check contract as the other sketch twins: the oracle
     // pins med_ok/mad_ok TRUE; n is the exact per-group row count

@@ -111,7 +111,11 @@ object StressSmoke {
     // double-median's 30.6/100 x100 probe — heaviest flat-output probe)
     // and the DSIR importance scorer (two explode→agg model passes +
     // a broadcast-λ scoring pass — linear by construction)
-    "q_mad_outliers_approx", "q_dsir_select")
+    "q_mad_outliers_approx", "q_dsir_select",
+    // round 13: the sketch-threshold DSIR arm (localCheckpointed
+    // scorer + GK-median keep rule — the scale answer to the exact
+    // arm's single-reducer percentile)
+    "q_dsir_select_approx")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

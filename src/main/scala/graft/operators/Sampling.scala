@@ -221,8 +221,12 @@ object Sampling {
     * tokens are co-located after explode), so the scoring shuffle is
     * one row per document. The target sample is typically small
     * (that's the method's point) but nothing here requires it.
-    * Returns (idCol, n_tok, w); docs with NULL text carry no tokens
-    * and are dropped (corpus noise, same contract as the text suite).
+    * Returns (idCol, n_tok, w) and is TOTAL over `docs` (round 13):
+    * a doc whose text yields no tokens — NULL text; the whitespace
+    * tokenizer never returns an empty array otherwise — emits
+    * (n_tok = 0, w = 0.0) instead of silently vanishing, so a
+    * selection rule downstream sees every input row and decides
+    * explicitly (a zero-evidence doc scores exactly neutral).
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
@@ -249,10 +253,16 @@ object Sampling {
         (log(col("ct") + 1.0) - log(col("nt") + lit(buckets.toDouble)) -
           log(col("cr") + 1.0) + log(col("nr") + lit(buckets.toDouble)))
           .as("_lam"))
-    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("_tok"))
-      .withColumn("b", pmod(RollingFp(col("_tok")), lit(buckets.toLong)))
-      .join(broadcast(lam), Seq("b"))
+    // explode_outer + left join: tokenless docs ride through as one
+    // null-token row and score (0, 0.0) — totality. Every real token's
+    // bucket exists in lam by construction (raw covers the corpus), so
+    // the left join loses nothing vs inner.
+    docs.select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("_tok"))
+      .withColumn("b",
+        when(col("_tok").isNotNull, pmod(RollingFp(col("_tok")), lit(buckets.toLong))))
+      .join(broadcast(lam), Seq("b"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"), sum("_lam").as("w"))
+      .agg(count(col("_tok")).as("n_tok"),
+        coalesce(sum("_lam"), lit(0.0)).as("w"))
   }
 }

@@ -906,6 +906,25 @@ class OperatorSpec extends SparkSpec {
     assert(math.min(w(1L)._2, w(2L)._2) > math.max(w(3L)._2, w(4L)._2), w.toString)
   }
 
+  test("Sampling.dsirWeights is TOTAL: empty-string and NULL-text docs are preserved") {
+    // round-13 totality contract: the scorer emits one row per input
+    // doc. An empty-string doc tokenizes to one "" token (whitespace
+    // split never yields an empty array) and gets a real model score;
+    // a NULL-text doc has zero evidence and scores exactly (0, 0.0)
+    val docs = Seq(
+      (1L, Some("apple banana")),
+      (2L, Some("")),
+      (3L, (None: Option[String]))).toDF("doc_id", "text")
+    val target = Seq((10L, Some("apple"))).toDF("doc_id", "text")
+    val w = graft.operators.Sampling
+      .dsirWeights(docs, "doc_id", "text", target, "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))   // row preservation
+    assert(w(1L)._1 === 2L)
+    assert(w(2L)._1 === 1L)                // "" is one token
+    assert(w(3L) === ((0L, 0.0)))          // null text: zero tokens, neutral weight
+  }
+
   test("Profile.madOutliers approx arm ≡ exact arm where the sketch is exact (n < accuracy)") {
     // accuracy 10000 >> n: the GK sketch retains every value, so the
     // approx arm must reproduce the exact arm's fences and decisions

@@ -202,7 +202,7 @@ class PlanSpec extends SparkSpec {
     // q_dsir_select (1-row model totals + 1-row median threshold).
     val boundedBroadcastByDesign =
       Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11", "q_lm_score",
-        "q_domain_shift", "q_dsir_select")
+        "q_domain_shift", "q_dsir_select", "q_dsir_select_approx")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)
