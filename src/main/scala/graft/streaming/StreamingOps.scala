@@ -289,7 +289,9 @@ object StreamingOps {
     * append them twice), then hand the kept rows to `emit`. The
     * signature write precedes emit so an emit-side failure re-runs
     * the whole batch cleanly. History lives on disk, never in the
-    * state store — at 100 TB the ledger is a table, not keyed state. */
+    * state store — at 100 TB the ledger is a table, not keyed state;
+    * long-lived streams periodically fold the closed per-batch dirs
+    * with [[compactLedger]] so the history read stays O(few files). */
   private def ledgerStream(docs: DataFrame, ledgerDir: String,
                            checkpointDir: String,
                            trigger: org.apache.spark.sql.streaming.Trigger,
@@ -313,6 +315,28 @@ object StreamingOps {
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
             .filter(_.getPath.getName != s"batch=$batchId")
             .map(_.getPath.toString)
+        // checkpoint/ledger coherence guard (r12 ADVICE): a fresh
+        // checkpoint dir restarts batchIds at 0 — against a REUSED
+        // ledger, the overwrite below would silently destroy the old
+        // batch=0 partition while later batch=N dirs still count as
+        // history (a corrupted half-old ledger). History covering ids
+        // at or above the current batch can only mean that mismatch:
+        // fail fast instead. (Plain batch=<batchId> itself is the
+        // legitimate re-run-of-a-failed-batch case and is excluded
+        // above; compacted dirs never cover a re-runnable batch.)
+        val covered = prior.flatMap { p =>
+          new org.apache.hadoop.fs.Path(p).getName match {
+            case LedgerPlain(n)              => Some(n.toLong)
+            case LedgerCompacted(_, hi, _)   => Some(hi.toLong)
+            case _                           => None
+          }
+        }
+        if (covered.nonEmpty && covered.max >= batchId)
+          throw new IllegalStateException(
+            s"ledger at $ledgerDir already covers batch=${covered.max} >= " +
+              s"current batch $batchId: the checkpoint was reset without " +
+              "resetting the ledger — ledgerDir and checkpointDir must be " +
+              "reset (or kept) together")
         val ledger =
           if (prior.isEmpty) ledgerOf(batch.limit(0)) // typed-empty
           else s.read.parquet(prior: _*)
@@ -324,6 +348,72 @@ object StreamingOps {
         ()
       }
       .start()
+
+  // ledger partition-dir names: one plain dir per micro-batch, plus
+  // consolidated dirs from compaction runs (the -g<gen> suffix keeps
+  // successive compactions from colliding). Both start with "batch="
+  // so the ledger read above picks them up unchanged.
+  private val LedgerPlain = "batch=(\\d+)".r
+  private val LedgerCompacted = "batch=(\\d+)-(\\d+)-g(\\d+)".r
+
+  /** Compact the ledger's one-directory-per-batch layout: fold every
+    * plain `batch=N` (and previously consolidated) partition with
+    * covered ids ≤ `upToBatch` into ONE consolidated
+    * `batch=<lo>-<hi>-g<gen>` directory of `targetFiles` files.
+    * Without this, a long-lived ingestion stream's ledger read lists
+    * one tiny directory per micro-batch forever (10⁵ batches = 10⁵
+    * dirs of small files) — the r12 operational gap.
+    *
+    * Safety contract: `upToBatch` must only cover batches that can
+    * never re-run — anything when the stream is stopped, or ids
+    * strictly below the last COMMITTED batch while it runs
+    * (foreachBatch re-runs at most the last uncommitted id). The
+    * current-batch-exclusion idempotence rule is untouched: a
+    * consolidated dir never carries a re-runnable batch's rows, so a
+    * re-run of batch N still sees exactly the pre-N history.
+    *
+    * Crash safety: the consolidated dir is written to a `_compacting`
+    * temp (invisible to the ledger read), PUBLISHED by rename, and
+    * only then are the source dirs deleted — a crash at any point
+    * leaves the ledger a SUPERSET of history, which dedup semantics
+    * absorb (set membership: duplicate fingerprints/signatures
+    * exclude the same docs), and a re-run of the compaction converges
+    * (sources are re-folded with `distinct()`).
+    *
+    * Returns the number of source directories folded (0 = nothing to
+    * do). */
+  def compactLedger(spark: SparkSession, ledgerDir: String, upToBatch: Long,
+                    targetFiles: Int = 1): Int = {
+    require(targetFiles > 0, s"need targetFiles > 0, got $targetFiles")
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val dirs = fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    // (name, coveredLo, coveredHi, gen) for every ledger partition dir
+    val parsed = dirs.flatMap { p =>
+      p.getName match {
+        case LedgerPlain(n)             => Some((p, n.toLong, n.toLong, 0L))
+        case LedgerCompacted(lo, hi, g) => Some((p, lo.toLong, hi.toLong, g.toLong))
+        case _                          => None
+      }
+    }
+    val sources = parsed.filter(_._3 <= upToBatch)
+    if (sources.size <= 1) return 0
+    val lo = sources.map(_._2).min
+    val hi = sources.map(_._3).max
+    val gen = parsed.map(_._4).max + 1
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compacting")
+    fs.delete(tmp, true) // stray temp from a crashed pass
+    spark.read.parquet(sources.map(_._1.toString): _*)
+      .distinct() // absorbs duplicates a crashed prior pass left behind
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val published = new org.apache.hadoop.fs.Path(root, s"batch=$lo-$hi-g$gen")
+    if (!fs.rename(tmp, published))
+      throw new java.io.IOException(s"compactLedger: rename $tmp -> $published failed")
+    sources.foreach(s => fs.delete(s._1, true))
+    sources.size
+  }
 
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._

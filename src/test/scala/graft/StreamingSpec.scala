@@ -286,6 +286,80 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.drop("batch").columns.toSeq === Seq("fp"))
   }
 
+  test("compactLedger: folded history still dedups, dir count drops, layout stays live") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupExactStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt").toString,
+      emit = b => kept.synchronized {
+        kept ++= b.select("doc_id").as[Long].collect()
+      })
+    // three committed micro-batches of distinct content
+    in.addData((1L, "alpha")); q.processAllAvailable()
+    in.addData((2L, "beta"));  q.processAllAvailable()
+    in.addData((3L, "gamma")); q.processAllAvailable()
+    def batchDirs() = new java.io.File(ledgerDir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(batchDirs().toSeq === Seq("batch=0", "batch=1", "batch=2"))
+    // compact while the stream is live: batches 0..2 are committed
+    // (processAllAvailable returned), so none of them can re-run
+    assert(StreamingOps.compactLedger(spark, ledgerDir, upToBatch = 2) === 3)
+    assert(batchDirs().toSeq === Seq("batch=0-2-g1"))
+    assert(spark.read.parquet(ledgerDir + "/batch=0-2-g1").count() === 3L)
+    // batch 3 still dedups against the FULL (now consolidated) history
+    in.addData((4L, "alpha"), (5L, "delta")); q.processAllAvailable()
+    assert(kept.toSet === Set(1L, 2L, 3L, 5L))
+    assert(batchDirs().toSeq === Seq("batch=0-2-g1", "batch=3"))
+    // a second compaction folds the consolidated dir with the new
+    // plain one (gen bumps — names never collide), history preserved
+    assert(StreamingOps.compactLedger(spark, ledgerDir, upToBatch = 3) === 2)
+    assert(batchDirs().toSeq === Seq("batch=0-3-g2"))
+    in.addData((6L, "delta"), (7L, "epsilon")); q.processAllAvailable()
+    q.stop()
+    assert(kept.toSet === Set(1L, 2L, 3L, 5L, 7L))
+    // nothing ≤ upToBatch left to fold → no-op
+    assert(StreamingOps.compactLedger(spark, ledgerDir, upToBatch = 3) === 0)
+  }
+
+  test("ledgerStream fails fast when a fresh checkpoint reuses an old ledger") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupExactStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData((1L, "alpha")); q.processAllAvailable()
+    in.addData((2L, "beta"));  q.processAllAvailable()
+    q.stop()
+    // same ledger, FRESH checkpoint: batchId restarts at 0 while the
+    // ledger still covers 0..1 — the r12 ADVICE corruption scenario
+    // (overwrite of batch=0 under surviving batch=1 history). The
+    // guard must kill the batch instead of half-destroying the ledger.
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.dedupExactStream(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt2").toString, emit = _ => ())
+    in2.addData((3L, "gamma"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("reset without")), messages(e).mkString(" | "))
+    // and the old ledger survives untouched
+    assert(spark.read.parquet(ledgerDir).count() === 2L)
+  }
+
   test("followWithinJoin: stream-stream join == batch join (views → purchases)") {
     import spark.implicits._
     val ev = Tables(spark, sf, "events")
