@@ -52,6 +52,50 @@ object Profile {
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
   }
 
+  /** Exact-vs-sketch dispatch from MEASURED data size (round 13 — the
+    * caller was choosing `approx` by hand): true = take the sketch
+    * arm, because the estimated per-group row count exceeds
+    * `perGroupBound`. The exact interpolated percentile buffers every
+    * group value inside one reducer task, so the right arm is a
+    * function of group size, not of the caller's guess; the sketch
+    * arm costs bounded rank error (≤ 1/accuracy) but fixed state.
+    *
+    * The estimate is one cheap probe aggregate reading ONLY the group
+    * columns (column-pruned scan; count + HLL distinct-groups — no
+    * value shuffle): rows / distinct groups. One extra scan is the
+    * price of not guessing; at 100 TB choosing the exact arm wrongly
+    * costs an O(group-size) single-task sort buffer instead. */
+  def useApprox(df: DataFrame, groupCols: Seq[String],
+                perGroupBound: Long = 1000000L): Boolean = {
+    require(perGroupBound > 0, s"need perGroupBound > 0, got $perGroupBound")
+    val probe =
+      if (groupCols.isEmpty)
+        df.agg(count(lit(1)).as("n"), lit(1L).as("g"))
+      else
+        df.agg(count(lit(1)).as("n"),
+          approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
+    val r = probe.head()
+    r.getLong(0) / math.max(1L, r.getLong(1)) > perGroupBound
+  }
+
+  /** [[winsorize]] with the arm picked by [[useApprox]]: exact bounds
+    * while groups are small enough to buffer, GK-sketch bounds beyond
+    * `perGroupBound` rows per group. Same output schema either way. */
+  def winsorizeAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    lo: Double, hi: Double, accuracy: Int = 10000,
+                    perGroupBound: Long = 1000000L): DataFrame =
+    winsorize(df, valueCol, groupCols, lo, hi,
+      approx = useApprox(df, groupCols, perGroupBound), accuracy = accuracy)
+
+  /** [[madOutliers]] with the arm picked by [[useApprox]] — the same
+    * size-driven dispatch as [[winsorizeAuto]] (and the policy behind
+    * the q_a8_percentiles / _approx twin pair). */
+  def madOutliersAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      k: Double = 3.0, accuracy: Int = 10000,
+                      perGroupBound: Long = 1000000L): DataFrame =
+    madOutliers(df, valueCol, groupCols, k,
+      approx = useApprox(df, groupCols, perGroupBound), accuracy = accuracy)
+
   /** Join `df` back to its per-group `bounds` table NULL-SAFELY on the
     * group keys: groupBy puts rows with a null key into their own
     * group, and a plain (null-unsafe) equi-join would silently DROP

@@ -374,6 +374,45 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("useApprox auto-dispatch: exact at sf0.01, sketch on the 10x replica set") {
+    import graft.operators.Profile
+    // sf0.01 lineitem per l_returnflag ≈ 20k rows/group — small enough
+    // for the exact arm's per-group value buffer; a 10× replica set
+    // (~200k/group) crosses the bound and must take the sketch arm
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val bound = 100000L
+    assert(!Profile.useApprox(li, Seq("l_returnflag"), bound))
+    val x10 = (1 to 10).map(_ => li).reduce(_ unionAll _)
+    assert(Profile.useApprox(x10, Seq("l_returnflag"), bound))
+    // library default bound: sf0.01 stays exact
+    assert(!Profile.useApprox(li, Seq("l_returnflag")))
+    // groupCols empty = one global group: rows alone decide
+    assert(Profile.useApprox(x10, Nil, bound))
+    assert(!Profile.useApprox(li.limit(10), Nil, bound))
+    // the auto wrappers reproduce the exact arm bit-for-bit when the
+    // probe picks it (same data, same bounds join) — q_mad_outliers /
+    // q_winsorize oracles are untouched by the dispatch existing
+    val viaAuto = Profile.madOutliersAuto(li, "l_quantity",
+      Seq("l_returnflag"), k = 1.5, perGroupBound = bound)
+      .select("l_orderkey", "l_linenumber", "_med", "_mad", "is_outlier")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val viaExact = Profile.madOutliers(li, "l_quantity",
+      Seq("l_returnflag"), k = 1.5)
+      .select("l_orderkey", "l_linenumber", "_med", "_mad", "is_outlier")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(viaAuto === viaExact)
+    // and on the big side the wrappers really swap the arm: the plan
+    // carries the GK sketch aggregate, not the exact percentile
+    val bigPlan = Profile.winsorizeAuto(x10, "l_extendedprice",
+      Seq("l_returnflag"), lo = 0.05, hi = 0.95, perGroupBound = bound)
+      .queryExecution.optimizedPlan.toString
+    assert(bigPlan.contains("percentile_approx"), bigPlan.take(1500))
+    val smallPlan = Profile.winsorizeAuto(li, "l_extendedprice",
+      Seq("l_returnflag"), lo = 0.05, hi = 0.95, perGroupBound = bound)
+      .queryExecution.optimizedPlan.toString
+    assert(!smallPlan.contains("percentile_approx"), smallPlan.take(1500))
+  }
+
   test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {
     import spark.implicits._
     import graft.functions.TopKSketch
