@@ -43,7 +43,7 @@ object Bench {
     }.getOrElse("")
     val metric = if (onlyField.isEmpty) "total" else "subset_total"
     val json =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$failuresField$onlyField}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","head_sha":"${Timing.headSha()}"$failuresField$onlyField}"""
     // The full per-query JSON goes ONLY to the sidecar file, never to
     // stdout: the driver captures sbt stdout with a 2000-char tail
     // window, and the ~5 KB per-query line flooded it every round

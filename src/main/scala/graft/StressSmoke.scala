@@ -379,7 +379,7 @@ object StressSmoke {
     val qs = results.map { case (n, (v, _)) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
     val rs = results.map { case (n, (_, r)) => s"\"" + n + "\":" + r }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"out_rows":$rs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200}"""
+    val json = s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"out_rows":$rs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200,"head_sha":"${Timing.headSha()}"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions.{count, lit}
   */
 object Timing {
 
+  /** Git HEAD of the working tree the measuring JVM ran from, with a
+    * `-dirty` suffix when tracked files are modified — embedded in
+    * every Bench/StressSmoke run artifact so the merge tools can
+    * verify all inputs were produced at the HEAD they stamp (r12
+    * ADVICE: merge-time stamping alone can launder stale runs into a
+    * freshly-stamped artifact). */
+  def headSha(): String =
+    try {
+      import scala.sys.process._
+      val sha = Seq("git", "rev-parse", "HEAD").!!.trim
+      val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+      if (dirty) s"$sha-dirty" else sha
+    } catch { case _: Exception => "unknown" }
+
   /** One measured query: median seconds over the reps, whether every
     * rep succeeded, and the output cardinality (−1 unless observed). */
   case class Measured(medianSec: Double, ok: Boolean, rows: Long)
@@ -49,6 +63,9 @@ object Timing {
       }
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    Measured(times(times.length / 2), !failed, rows)
+    // rows only from a fully successful run: a failed rep would leave
+    // the previous rep's count (stale) or no count at all — consumers
+    // must never see a partially-observed cardinality (r12 ADVICE)
+    Measured(times(times.length / 2), !failed, if (failed) -1L else rows)
   }
 }

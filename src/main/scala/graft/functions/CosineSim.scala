@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * index order — identical to the sequential fold it replaces, so
   * oracle-rounded results are unchanged.
   *
-  * Null semantics match the composed form: null array or any null
-  * element → null.
+  * Null semantics match the composed form: null array, any null
+  * element, or a LENGTH MISMATCH → null (zip_with pads the shorter
+  * array with nulls, which null-poisons the composed fold — silently
+  * truncating to the common prefix here would quietly diverge from
+  * that reference semantics on ragged pairs; round-13 parity sweep).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
 
@@ -36,7 +39,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -59,9 +63,10 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);

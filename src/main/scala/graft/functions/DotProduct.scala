@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * same rationale and accumulation order as [[CosineSim]] (index-order
   * fold, so it matches the `zip_with`/`aggregate` composition
   * bit-for-bit). Used in IVF cell assignment where only the dot
-  * product (not the norms) is needed. */
+  * product (not the norms) is needed. Ragged pairs (length mismatch)
+  * are null, matching the composed form's zip_with null padding
+  * (round-13 parity sweep — truncation would quietly diverge). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
@@ -26,7 +28,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -43,9 +46,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |int $n = $a.numElements();
          |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}

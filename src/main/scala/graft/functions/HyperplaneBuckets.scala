@@ -76,7 +76,14 @@ object HyperplaneBuckets {
     * order either path). */
   def evalBuckets(arr: Array[Float], weights: Array[Array[Double]],
                   dim: Int, bits: Int, tables: Int): Array[Int] = {
-    val n = math.min(dim, arr.length)
+    // fixed-dim contract, matching the DetFolds family: a vector
+    // shorter than the declared dim throws a NAMED error (a truncated
+    // projection would silently bucket on a partial dot product);
+    // longer vectors use the first dim components
+    if (arr.length < dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: vector length ${arr.length} < dim=$dim")
+    val n = dim
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {

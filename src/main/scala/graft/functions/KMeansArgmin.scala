@@ -40,6 +40,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 case class KMeansArgminExpr(child: Expression, cents: Seq[Seq[Long]])
     extends UnaryExpression with ExpectsInputTypes {
 
+  // guarded in the case-class body (not only the Column-level apply)
+  // so EVERY construction path — including a direct instantiation —
+  // fails with a named error instead of a raw per-row
+  // IndexOutOfBoundsException from best() reading cents(0)
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "kmeans_argmin: centroid matrix must be non-empty and rectangular")
+
   // the eval-time form: one contiguous primitive matrix, built once per
   // expression instance (and once per codegen'd plan as a referenced
   // object), never per row

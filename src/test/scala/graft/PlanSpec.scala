@@ -475,6 +475,58 @@ class PlanSpec extends SparkSpec {
     assert(keyDiff === 0)
   }
 
+  test("fused vector expressions: ragged-vector contract matches each reference form") {
+    import spark.implicits._
+    // round-13 parity sweep (KMeansArgmin got its strict check in r12;
+    // this pins the rest of the fixed-dim family): no fused expression
+    // may silently TRUNCATE a dim mismatch — it must do whatever its
+    // reference form does (null-poison or named error)
+    val ragged = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // CosineSim/DotProduct: composed zip_with pads the shorter array
+    // with nulls → null result; fused must agree, not truncate
+    val r = ragged.select(
+      graft.functions.Vectors.cosine(col("a"), col("b")).as("c"),
+      graft.functions.Vectors.dot(col("a"), col("b")).as("d"),
+      graft.functions.Vectors.dotComposed(col("a"), col("b")).as("dc")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r.toString)
+    // fixed-dim folds: a vector SHORTER than the declared dim throws a
+    // named error on every path (the composed folds' element_at dies
+    // under ANSI too — never a silent partial dot)
+    def rootMsgs(f: => Any): String = {
+      val e = intercept[Throwable](f)
+      Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    }
+    assert(rootMsgs(ragged.select(graft.functions.Vectors
+      .cosineFold(col("a"), col("b"), 3)).collect()).contains("cosine_fold"))
+    assert(rootMsgs(ragged.select(graft.functions.Vectors
+      .detHyperplaneKeys(col("b"), 3, 4, 2)).collect()).contains("det_hyperplane_keys"))
+    assert(rootMsgs(ragged.select(graft.functions.Vectors
+      .hyperplaneBuckets(col("b"), 3, 4, 2, seed = 7)).collect())
+      .contains("hyperplane_buckets"))
+    // and longer-than-dim uses the first dim components, same as the
+    // composed folds' element_at(1..dim) — no error, no extra terms
+    val long = ragged.select(graft.functions.Vectors
+        .cosineFold(col("a"), col("a"), 2).as("f"),
+      graft.functions.Vectors.cosineFoldComposed(col("a"), col("a"), 2).as("c"))
+      .collect()(0)
+    assert(long.getDouble(0) === long.getDouble(1))
+    // KMeansArgmin: a direct expression construction with a degenerate
+    // matrix fails at CONSTRUCTION with the named require, not at
+    // eval-time with a raw IndexOutOfBounds (r12 ADVICE)
+    val bad = intercept[IllegalArgumentException] {
+      graft.functions.KMeansArgminExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")), Seq.empty)
+    }
+    assert(bad.getMessage.contains("kmeans_argmin"), bad.getMessage)
+    val badRagged = intercept[IllegalArgumentException] {
+      graft.functions.KMeansArgminExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
+        Seq(Seq(1L, 2L), Seq(3L)))
+    }
+    assert(badRagged.getMessage.contains("rectangular"), badRagged.getMessage)
+  }
+
   test("fused vector folds reject array<double> at ANALYSIS, not at runtime") {
     import spark.implicits._
     // the fused loops read getFloat(d) raw bytes: an embeddings

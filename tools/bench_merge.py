@@ -58,6 +58,23 @@ def provenance():
                 datetime.timezone.utc).isoformat(timespec="seconds")}
 
 
+def check_run_sha(path, run, head_sha):
+    """Every input run must have been produced at the HEAD this merge
+    stamps (r12 ADVICE: merge-time stamping alone launders stale run
+    files into a freshly-stamped artifact). Bench/StressSmoke embed
+    head_sha (with a -dirty suffix for modified trees) since round 13;
+    a missing field means a pre-r13 or hand-edited run — rejected."""
+    run_sha = run.get("head_sha")
+    if not run_sha:
+        raise SystemExit(f"{path}: no head_sha in run artifact (produced by a "
+                         "pre-r13 binary or hand-edited) — rejected")
+    if head_sha and run_sha != head_sha:
+        raise SystemExit(f"{path}: produced at {run_sha}, but merging at "
+                         f"{head_sha} — stale run rejected (re-run at HEAD, "
+                         "or commit first: a -dirty suffix means the "
+                         "measuring tree had uncommitted changes)")
+
+
 def main():
     args = sys.argv[1:]
     prior_path = None
@@ -78,6 +95,7 @@ def main():
     *run_paths, out_path = args
     if fresh_path and fresh_path not in run_paths:
         raise SystemExit(f"--fresh {fresh_path} must be one of the input runs")
+    head_sha = provenance()["head_sha"]
     runs = []
     for path in run_paths:
         run = json.load(open(path))
@@ -86,6 +104,7 @@ def main():
                              f"(metric={run.get('metric')!r}) — rejected")
         if run.get("failures"):
             raise SystemExit(f"{path}: has failures {run['failures']} — rejected")
+        check_run_sha(path, run, head_sha)
         runs.append((path, run))
     names = set(runs[0][1]["queries"])
     for path, run in runs[1:]:

@@ -48,6 +48,7 @@ def load_runs(spec, side, expected_replicas):
     into (StressSmoke labels every run "sf":"<src>xN"; a 10x file in the
     base slot would inflate the baseline and silently deflate every
     ratio, so a mislabel is a hard error, not a skip)."""
+    head_sha = provenance()["head_sha"]
     runs = []
     for path in spec.split(","):
         try:
@@ -56,6 +57,17 @@ def load_runs(spec, side, expected_replicas):
             print(f"WARNING: {side} run {path} unreadable ({e}) — rejected",
                   file=sys.stderr)
             continue
+        # r12 ADVICE: merge-time stamping alone launders stale run files
+        # into a freshly-stamped artifact — every run must carry the
+        # HEAD it was measured at, and it must be THIS head. (A -dirty
+        # suffix means the measuring tree had uncommitted changes.)
+        run_sha = run.get("head_sha")
+        if not run_sha:
+            raise SystemExit(f"{side} run {path}: no head_sha in artifact "
+                             "(pre-r13 binary or hand-edited) — rejected")
+        if head_sha and run_sha != head_sha:
+            raise SystemExit(f"{side} run {path}: produced at {run_sha}, "
+                             f"merging at {head_sha} — stale run rejected")
         m = re.search(r"x(\d+)$", run.get("sf", ""))
         declared = int(m.group(1)) if m else None
         if declared != expected_replicas:
