@@ -125,6 +125,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("J2 nearestJoinTicks1D bucketed sweep handles a NEGATIVE tick domain") {
+    // acctbal-style values go negative (q_tpch_q16's suppliers), so the
+    // domain lower bound bLo is negative and the bucket id expression
+    // (_tick - (bLo)) div width must still be the monotone non-negative
+    // shift — including probes whose nearest right tick sits across a
+    // bucket boundary on the negative side
+    val left = Seq((1, -9.37), (2, -0.02), (3, 4.50), (4, -999.99)).toDF("lid", "lx")
+    val right = Seq((10, -10.00), (11, 0.00), (12, 4.49)).toDF("rid", "rx")
+    val dist = abs(col("lx") - col("rx"))
+    val quant = Nearest.nearestJoinQuantized(left, right, dist, "rid", invQuantum = 100)
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    for (mb <- Seq(1, 2, 5, 1024)) {
+      val ticks = Nearest.nearestJoinTicks1D(left, right,
+        col("lx"), col("rx"), "rid", invQuantum = 100, maxBuckets = mb)
+        .select("lid", "rid").as[(Int, Int)].collect().toSet
+      assert(ticks === quant, s"maxBuckets=$mb diverged on negative domain")
+    }
+    assert(quant === Set((1, 10), (2, 11), (3, 12), (4, 10)))
+  }
+
   test("J2 nearestJoinTicks1D ≡ nearestJoinQuantized with null values on BOTH sides") {
     // null left values must drop (not pick up a spurious _succ winner);
     // null right values must be skipped (not become a null-tick _pred

@@ -327,6 +327,37 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.compactLedger(spark, ledgerDir, upToBatch = 3) === 0)
   }
 
+  test("compactLedger crash paths: stray temp cleaned, superset history converges") {
+    import spark.implicits._
+    // simulate the two crash residues the publish-then-retire protocol
+    // can leave: (a) a _compacting temp from a pass that died before
+    // rename — must be invisible to reads and cleaned by the next pass;
+    // (b) a published consolidated dir WITH its source dirs still
+    // present (died between rename and deletes) — duplicate history
+    // rows that the next pass must fold back to a distinct set
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    def writeBatch(n: Long, fps: Seq[String]): Unit =
+      fps.toDF("fp").coalesce(1).write.mode("overwrite")
+        .parquet(s"$ledgerDir/batch=$n")
+    writeBatch(0, Seq("a", "b"))
+    writeBatch(1, Seq("c"))
+    // (a) stray temp with garbage rows — never part of history
+    Seq("zz").toDF("fp").write.parquet(s"$ledgerDir/_compacting")
+    // (b) a prior pass already published batch=0-1-g1 but crashed
+    // before retiring the sources: duplicates of a, b, c on disk
+    spark.read.parquet(s"$ledgerDir/batch=0", s"$ledgerDir/batch=1")
+      .write.parquet(s"$ledgerDir/batch=0-1-g1")
+    // a re-run folds sources + the published dir, distinct()s the
+    // duplicates, bumps the generation, and retires everything stale
+    assert(StreamingOps.compactLedger(spark, ledgerDir, upToBatch = 1) === 3)
+    val dirs = new java.io.File(ledgerDir).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("batch=0-1-g2"))
+    assert(spark.read.parquet(s"$ledgerDir/batch=0-1-g2")
+      .as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
+  }
+
   test("ledgerStream fails fast when a fresh checkpoint reuses an old ledger") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
