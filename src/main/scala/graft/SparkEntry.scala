@@ -1881,6 +1881,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-flattened mixture (α = 0.5 — the mBERT/XLM-R
+    // multilingual rebalance): resample the lang mix toward shares
+    // ∝ n^α, so the head language (en) downsamples hardest and the
+    // smallest (fr) binds and keeps every row. α = 0.5 is the oracle
+    // face: sqrt is correctly rounded by IEEE-754 in EVERY engine
+    // (libm pow is last-ulp loose), and the unnormalized n^α targets
+    // keep each step one correctly-rounded op, so the hash-exact keep
+    // rule reproduces bit-for-bit in DuckDB
+    "q_sample_temp" -> ((s, dir) => {
+      Sampling.mixtureTemperature(t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Budget-capped selection: per source, longest-first docs until a
     // 3000-char budget — the take-the-best-until-budget data-selection
     // pass (quality order stands in as length here)
@@ -4058,6 +4073,21 @@ object SparkEntry {
         |t AS (SELECT MIN(n / target) AS T FROM c WHERE target IS NOT NULL),
         |r AS (SELECT lang, T * target / n AS rate
         |      FROM c CROSS JOIN t WHERE target IS NOT NULL)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (d.doc_id * 2654435761) % 1000000 < rate * 1000000
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the α=0.5 temperature rebalance in SQL: sqrt targets (correctly
+    // rounded everywhere), unnormalized — each rate is the identical
+    // chain of single-rounded IEEE ops, so membership hash-matches
+    "q_sample_temp" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, n, sqrt(n) AS target FROM c),
+        |t AS (SELECT MIN(n / target) AS T FROM w),
+        |r AS (SELECT lang, T * target / n AS rate FROM w CROSS JOIN t)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
         |WHERE (d.doc_id * 2654435761) % 1000000 < rate * 1000000

@@ -183,6 +183,39 @@ object Sampling {
         rateExpr * lit(1000000L))
   }
 
+  /** Temperature-flattened mixture (α-smoothing — the multilingual
+    * rebalance of mBERT/XLM-R, Conneau et al. 2020): resample groups
+    * toward shares ∝ nᵍ^α, 0 < α ≤ 1. α = 1 keeps the corpus shape,
+    * α → 0 flattens toward uniform; the smallest group is always the
+    * binding group (nᵍ/nᵍ^α = nᵍ^{1−α} is minimized there) and keeps
+    * every row, so the pass never upsamples. Delegates to [[mixture]]
+    * with the UNNORMALIZED weights nᵍ^α as targets — shares are
+    * scale-invariant, and skipping the normalizing division keeps
+    * every arithmetic step (pow/sqrt, ÷, ·, min) a single correctly-
+    * rounded IEEE op on identical inputs in any engine, which is what
+    * puts the hash-exact keep rule under the DuckDB oracle. α = 0.5
+    * computes `sqrt` (correctly rounded EVERYWHERE by IEEE-754, unlike
+    * the last-ulp-loose libm `pow`), so the oracle-checked query face
+    * uses α = 0.5; other α are engine-exact but only pow-reproducible.
+    *
+    * Scale shape: same as [[mixture]] — one counts aggregate over the
+    * group column (collected: bounded by the source/language
+    * cardinality, the k-literal pattern), then the corpus streams
+    * through one literal filter. */
+  def mixtureTemperature(df: DataFrame, groupCol: String, idCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_n")).collect()
+    val targets = counts.map { r =>
+      val n = r.getLong(1).toDouble
+      String.valueOf(r.get(0)) ->
+        (if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha))
+    }.toMap
+    if (targets.isEmpty) df.filter(lit(false))
+    else mixture(df, groupCol, idCol, targets)
+  }
+
   /** Budget-capped selection: per group, keep rows in `order` until
     * the running sum of `costCol` exceeds `budget` — the
     * data-selection pass that takes the best documents (quality-first

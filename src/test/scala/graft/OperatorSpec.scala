@@ -905,6 +905,38 @@ class OperatorSpec extends SparkSpec {
     assert(nullRow.filter(col("is_outlier")).count() === 0)
   }
 
+  test("Sampling.mixtureTemperature: alpha flattens shares, binding group kept whole") {
+    import graft.operators.Sampling
+    // heavy head (400 'a'), mid (100 'b'), tail (25 'c') — ids spread
+    // uniformly so hash-rule realized rates track targets closely
+    val df = ((1 to 400).map(i => (i.toLong, "a")) ++
+      (1001 to 1100).map(i => (i.toLong, "b")) ++
+      (2001 to 2025).map(i => (i.toLong, "c"))).toDF("id", "g")
+    val out = Sampling.mixtureTemperature(df, "g", "id", alpha = 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest group binds: nothing upsampled, tail kept whole
+    assert(out("c") === 25L)
+    // expected kept ≈ n^0.5 scaled so the tail keeps all: a→100, b→50
+    // (hash-bucket granularity swings a few rows either way)
+    assert(math.abs(out("a") - 100L) <= 12, out.toString)
+    assert(math.abs(out("b") - 50L) <= 8, out.toString)
+    // flattening: output head/tail ratio ≈ sqrt of the input's 16:1
+    assert(out("a").toDouble / out("c") < 6.0, out.toString)
+    // alpha = 1 keeps the corpus shape exactly (T = 1, every rate = 1)
+    val id = Sampling.mixtureTemperature(df, "g", "id", alpha = 1.0)
+    assert(id.count() === df.count())
+    // membership is the transparent hash rule (nested under rate)
+    val kept = Sampling.mixtureTemperature(df, "g", "id", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    val rateA = 25.0 / math.sqrt(25.0) * math.sqrt(400.0) / 400.0
+    (1 to 400).foreach { i =>
+      val bucket = (i.toLong * 2654435761L) % 1000000L
+      assert(kept.contains(i.toLong) === (bucket < rateA * 1000000L), s"id $i")
+    }
+    intercept[IllegalArgumentException](Sampling.mixtureTemperature(df, "g", "id", 0.0))
+    intercept[IllegalArgumentException](Sampling.mixtureTemperature(df, "g", "id", 1.5))
+  }
+
   test("Sampling.dsirWeights: target-like docs score positive, off-target negative") {
     // raw corpus = two disjoint vocabularies; target sample = only the
     // fruit vocabulary → every fruit doc must strictly outscore every
