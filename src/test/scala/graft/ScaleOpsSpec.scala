@@ -392,14 +392,17 @@ class ScaleOpsSpec extends SparkSpec {
     // the auto wrappers reproduce the exact arm bit-for-bit when the
     // probe picks it (same data, same bounds join) — q_mad_outliers /
     // q_winsorize oracles are untouched by the dispatch existing
-    val viaAuto = Profile.madOutliersAuto(li, "l_quantity",
-      Seq("l_returnflag"), k = 1.5, perGroupBound = bound)
-      .select("l_orderkey", "l_linenumber", "_med", "_mad", "is_outlier")
-      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
-    val viaExact = Profile.madOutliers(li, "l_quantity",
-      Seq("l_returnflag"), k = 1.5)
-      .select("l_orderkey", "l_linenumber", "_med", "_mad", "is_outlier")
-      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    // multiset compare: (l_orderkey, l_linenumber) is NOT unique in the
+    // synthetic lineitem, so a sort on it isn't total and tied rows can
+    // interleave differently between the two collects
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("l_orderkey", "l_linenumber", "l_quantity",
+          "_med", "_mad", "is_outlier")
+        .collect().map(_.toString).sorted.toSeq
+    val viaAuto = rows(Profile.madOutliersAuto(li, "l_quantity",
+      Seq("l_returnflag"), k = 1.5, perGroupBound = bound))
+    val viaExact = rows(Profile.madOutliers(li, "l_quantity",
+      Seq("l_returnflag"), k = 1.5))
     assert(viaAuto === viaExact)
     // and on the big side the wrappers really swap the arm: the plan
     // carries the GK sketch aggregate, not the exact percentile
