@@ -115,7 +115,16 @@ object StressSmoke {
     // round 13: the sketch-threshold DSIR arm (localCheckpointed
     // scorer + GK-median keep rule — the scale answer to the exact
     // arm's single-reducer percentile)
-    "q_dsir_select_approx")
+    "q_dsir_select_approx",
+    // round 13 (first measured r14): the RAW sketch arms. The
+    // *_approx bench queries carry exact-percentile ORACLE bound
+    // checks, which dominate their x100 probes (q_mad_outliers_approx
+    // 26.6/100 at r13 measures mostly the verification pass); these
+    // probe-only bodies measure what a 100 TB run actually executes —
+    // the GK sketch pass alone. New names, not overrides of the twin
+    // names, so the twins' round-over-round ratio series stays
+    // comparable.
+    "q_mad_sketch_raw", "q_dsir_sketch_raw")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -125,6 +134,29 @@ object StressSmoke {
     * documented throughput alternative — on the same slices the r4
     * artifact used, so ratios stay comparable round over round. */
   private val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // raw sketch arms (probe-only names — see stressQueries note): the
+    // operator passes without the oracle's exact-percentile bound
+    // verification that the registered *_approx twins must also run
+    "q_mad_sketch_raw" -> ((s, dir) => {
+      graft.operators.Profile.madOutliers(Tables(s, dir, "lineitem"),
+        "l_quantity", Seq("l_returnflag"), k = 1.5, approx = true)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          min("_med").as("med"), min("_mad").as("mad_val"))
+        .orderBy("l_returnflag")
+    }),
+    "q_dsir_sketch_raw" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val scored = graft.operators.Sampling.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", buckets = 4096)
+        .select(col("doc_id"), col("w")).localCheckpoint()
+      scored.crossJoin(broadcast(scored.agg(
+          expr("approx_percentile(w, 0.5, 10000)").as("_t"))))
+        .filter(col("w") > col("_t"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(
         Tables(s, dir, "documents").filter(col("doc_id") < 500),
