@@ -357,6 +357,54 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A13: mergeable-sketch rollup — the compute-once pattern for
+    // distinct counts at 100 TB: HLL partials at fine granularity
+    // (flag × status here; key × day in production) union-merged to
+    // any coarser slice without touching raw rows again. Sketch
+    // estimates are engine-specific, so the contract is the
+    // established bound check: |est − exact| within the lgK=14 error
+    // (±2% + small-count slack), pinned TRUE by the oracle; n and
+    // nd_exact are the exact verification arm.
+    "q_hll_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val merged = Sketches.hllMerge(
+        Sketches.hllPartials(li, Seq("l_returnflag", "l_linestatus"),
+          "l_orderkey", lgK = 14),
+        Seq("l_returnflag"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("nd_exact"))
+      merged.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            col("nd_exact") * 0.02 + 16).as("nd_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A14: incremental aggregate maintenance — the nightly operation
+    // of a maintained rollup table: history (orders before 1997) is
+    // reduced ONCE to per-key mergeable state (count, decimal-exact
+    // sum, min/max, HLL distinct sketch); the new slice folds in via
+    // state merge, history never rescanned. The decimal sum makes the
+    // merged total bit-identical to the from-scratch aggregate the
+    // oracle computes; the sketch estimate rides the bound contract.
+    "q_agg_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val state = Sketches.aggState(o.filter(col("o_orderdate") < cut),
+        Seq("o_orderpriority"), "o_totalprice", "o_custkey")
+      val updated = Sketches.updateState(state,
+        o.filter(col("o_orderdate") >= cut),
+        Seq("o_orderpriority"), "o_totalprice", "o_custkey")
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("nd_exact"))
+      Sketches.readState(updated).join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"), col("sum_v"),
+          col("min_v"), col("max_v"), col("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            col("nd_exact") * 0.02 + 16).as("nd_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A7: per-group OLS (closed-form, aggregate-only) predicting 2026.
     // customer grows with the corpus — no hard broadcast hint; AQE
     // picks broadcast at small SF and shuffle join once it outgrows it
@@ -1451,6 +1499,51 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Dedup 2d: quality-aware representative — keep each cluster's
+    // LONGEST member (n_chars, min-id tiebreak) instead of the
+    // arbitrary min-id, the choice a curation pipeline actually wants
+    // when a cluster mixes a clean original with truncated scrapes.
+    // Same pair plan as 2b/2c; only (id, score, cluster) triples
+    // shuffle for the winner pick (map-side max_by, no window sort).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      Dedup.applyNearDupsKeepBest(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Split 2: leakage-safe split — near-dup CLUSTERS move between
+    // train/val/test as one unit (split = pure function of the
+    // component's min-id label; singletons degenerate to q_split's
+    // per-doc rule), so no near-dup pair can straddle the held-out
+    // boundary. The contamination audit below measures what the plain
+    // per-doc split leaks on the same pair set; for this assignment
+    // the audit returns zero rows (asserted in CurationOpsSpec).
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      Sampling.leakFreeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select(col("doc_id"), col("unit").cast("long").as("unit"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Split 2b: cross-split contamination audit — near-dup pairs whose
+    // members landed in DIFFERENT splits under the plain per-doc
+    // modulo rule, counted per leak direction. The quantified failure
+    // mode q_split_leakfree exists to eliminate.
+    "q_split_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      val assigned = Sampling.byModulo(docs, "doc_id",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      Sampling.splitContamination(assigned, "doc_id", pairs)
+        .orderBy("split_a", "split_b")
+    }),
+
     // Dedup 3: MinHash+LSH with exact-Jaccard verification. Default
     // DetHash family (RollingFp mod 2³¹−1, affine signatures) — the
     // whole LSH path runs under the full DuckDB oracle; the xxhash64
@@ -2303,6 +2396,22 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact arm recomputed directly; nd_ok (the sketch-vs-exact bound
+    // check, computed engine-side) pinned TRUE
+    "q_hll_rollup" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the merged state must equal the from-scratch aggregate: decimal
+    // sum route matches Exact.sqlSum bit-for-bit; nd_ok pinned TRUE
+    "q_agg_incremental" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ${dsumSql("o_totalprice")} AS sum_v,
+        |  MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_a7_ols" -> Regression.oracleSql(
       "(SELECT c_nationkey, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
@@ -3437,6 +3546,74 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id < 500 AND doc_id NOT IN (SELECT node FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    // same reachability; per cluster keep the member with max n_chars
+    // (min-id tiebreak), drop the rest
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardShingleCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05),
+        |e AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM e
+        |  UNION
+        |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s),
+        |lab AS (SELECT s AS node, LEAST(s, MIN(dd)) AS cluster
+        |        FROM reach GROUP BY s),
+        |ranked AS (
+        |  SELECT l.node,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster
+        |                       ORDER BY d.n_chars DESC, l.node) AS rk
+        |  FROM lab l JOIN documents d ON d.doc_id = l.node),
+        |dropped AS (SELECT node FROM ranked WHERE rk > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id < 500 AND doc_id NOT IN (SELECT node FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same reachability labels; split = pure function of the unit id
+    // (cluster label, or the doc's own id when unclustered)
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $jaccardShingleCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05),
+        |e AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, dd FROM e
+        |  UNION
+        |  SELECT r.s, e.dd FROM reach r JOIN e ON r.dd = e.s),
+        |lab AS (SELECT s AS node, LEAST(s, MIN(dd)) AS cluster
+        |        FROM reach GROUP BY s)
+        |SELECT dd.doc_id, CAST(COALESCE(l.cluster, dd.doc_id) AS BIGINT) AS unit,
+        |  CASE WHEN COALESCE(l.cluster, dd.doc_id) % 100 < 80 THEN 'train'
+        |       WHEN COALESCE(l.cluster, dd.doc_id) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents dd LEFT JOIN lab l ON l.node = dd.doc_id
+        |WHERE dd.doc_id < 500 ORDER BY dd.doc_id""".stripMargin,
+
+    // near-dup pairs straddling the PER-DOC modulo split, per direction
+    "q_split_contamination" ->
+      s"""WITH RECURSIVE $jaccardShingleCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) >= 0.05),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |         WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs p
+        |JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b
+        |WHERE a.split <> b.split
+        |GROUP BY a.split, b.split ORDER BY split_a, split_b""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH $jaccardShingleCtes

@@ -124,7 +124,12 @@ object StressSmoke {
     // the GK sketch pass alone. New names, not overrides of the twin
     // names, so the twins' round-over-round ratio series stays
     // comparable.
-    "q_mad_sketch_raw", "q_dsir_sketch_raw")
+    "q_mad_sketch_raw", "q_dsir_sketch_raw",
+    // round 13 (second wave): mergeable-sketch rollup and incremental
+    // state maintenance — both plain map-side-combinable aggregates
+    // over the replicated star schema (output is per-key, flat), so
+    // their ratios read the aggregate scan cost directly
+    "q_hll_rollup", "q_agg_incremental")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

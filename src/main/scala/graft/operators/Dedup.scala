@@ -614,6 +614,31 @@ object Dedup {
         .filter(col("node") =!= col("cluster")).select(col("node").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[applyNearDups]] with a QUALITY-AWARE representative: keep the
+    * cluster member maximizing `scoreCol` (highest quality score,
+    * longest text, …) instead of the arbitrary min-id — what a curation
+    * pipeline actually wants when near-dup clusters mix a clean
+    * original with mangled scrapes. Ties break to the smaller id, so
+    * the choice is total and engine-independent. Scale shape: only
+    * (id, score, cluster) triples shuffle — one aggregation per
+    * cluster picks the winner (`max_by` over a (score, −id) struct, a
+    * map-side-combinable semilattice max, no per-cluster window sort)
+    * and the corpus streams once through the final anti-join. */
+  def applyNearDupsKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                            scoreCol: Column, aCol: String = "doc_a",
+                            bCol: String = "doc_b"): DataFrame = {
+    val members = docs.select(col(idCol), scoreCol.as("_score"))
+      .join(connectedComponents(pairs, aCol, bCol)
+        .select(col("node").as(idCol), col("cluster")), Seq(idCol))
+    val losers = members
+      .groupBy("cluster")
+      .agg(max_by(col(idCol), struct(col("_score"), -col(idCol))).as("_keep"))
+      .join(members.select(col(idCol), col("cluster")), Seq("cluster"))
+      .filter(col(idCol) =!= col("_keep"))
+      .select(idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash: for each token hash, add +1/−1 per bit position,
     * take the sign vector. Near-dups = pairs within `maxHamming` bits,
     * found by splitting the 64 bits into (maxHamming+1) bands — the

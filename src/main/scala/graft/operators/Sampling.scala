@@ -31,6 +31,47 @@ object Sampling {
     df.withColumn("split",
       splitColumn(pmod(xxhash64(col(idCol), lit(salt)), lit(100)).cast("int"), cuts))
 
+  /** Leakage-safe split: assign whole NEAR-DUP CLUSTERS to splits, not
+    * individual docs. A per-doc split lets two near-identical documents
+    * land in train and test — the held-out set then scores memorization
+    * (the train/test contamination failure mode near-dup detection
+    * exists to prevent). Here the split unit is the doc's connected
+    * component over `pairs` (its min-id label from
+    * [[Dedup.connectedComponents]]; unpaired docs are their own unit),
+    * and the bucket is a pure function of the UNIT id — so every member
+    * of a cluster shares one split, and singleton docs get exactly the
+    * [[byModulo]] assignment. Output: the input rows plus `unit` and
+    * `split`. Scale: the label table is ∝ clustered docs (tiny next to
+    * the corpus) and joins on the id; the corpus itself streams once. */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    cuts: Seq[(String, Int)],
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val units = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster"))
+    docs.join(units, Seq(idCol), "left")
+      .withColumn("unit", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+      .withColumn("split",
+        splitColumn(pmod(col("unit"), lit(100)).cast("int"), cuts))
+  }
+
+  /** Split-contamination audit: given per-doc split assignments and a
+    * near-dup pair list, count the pairs whose members landed in
+    * DIFFERENT splits — the leakage a [[leakFreeSplit]] drives to zero
+    * and a plain per-doc split leaves behind. Output one row per
+    * ordered (split_a, split_b) leak direction with its pair count;
+    * empty ⇔ no cross-split near-dups. Only ids and split labels
+    * shuffle — two joins of the pair list against the assignment. */
+  def splitContamination(assigned: DataFrame, idCol: String, pairs: DataFrame,
+                         aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val splits = assigned.select(col(idCol), col("split"))
+    pairs
+      .join(splits.select(col(idCol).as(aCol), col("split").as("split_a")), aCol)
+      .join(splits.select(col(idCol).as(bCol), col("split").as("split_b")), bCol)
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Deterministic exactly-n-per-group sample: rank each group's rows
     * by a transparent multiplicative hash of the id (Knuth's constant,
     * SQL-reproducible; the id itself tie-breaks) and keep the first
