@@ -66,7 +66,17 @@ object Plans {
     // the round-13 bucketed ticks sweep: every Window carries
     // `partitionBy _b`, the carry table rides a BroadcastExchange,
     // and no stage is single-partition.
-    "q_dsir_select_approx", "q_sample_temp")
+    "q_dsir_select_approx", "q_sample_temp",
+    // round 13 (second wave): the mergeable-state family — partial
+    // hll_sketch_agg / hll_union_agg modes and the no-extra-exchange
+    // union-merge (both state branches pre-partitioned on the key);
+    // theta overlap (per-slice ObjectHashAggregate → slices²-row
+    // nested-loop on SKETCH rows, documented); the pre-flight
+    // diagnostics (aggregate-then-broadcast-scalar shapes); leak-free
+    // split (label table joined on the id, corpus streams once)
+    "q_hll_rollup", "q_agg_incremental", "q_theta_overlap",
+    "q_key_skew", "q_join_size", "q_equidepth", "q_text_pmi",
+    "q_split_leakfree", "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

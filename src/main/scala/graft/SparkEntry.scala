@@ -380,6 +380,36 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A15: theta-sketch distinct OVERLAP — the set operation HLL state
+    // cannot do: per-slice theta partials intersect pairwise to
+    // estimate |distinct(A) ∩ distinct(B)| (shared customers between
+    // order-priority segments) with no raw-row rescan. Estimates ride
+    // the bound contract (±5% + small-count slack, pinned TRUE);
+    // overlap_exact is the verification arm (distinct pair self-join).
+    "q_theta_overlap" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val est = Sketches.distinctOverlap(
+        Sketches.thetaPartials(o, Seq("o_orderpriority"), "o_custkey",
+          lgK = 12),
+        "o_orderpriority")
+      val pc = o.select(col("o_orderpriority").as("p"),
+        col("o_custkey").as("c")).distinct()
+      val exact = pc.as("x")
+        .join(pc.as("y"), col("x.c") === col("y.c") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("slice_a"), col("y.p").as("slice_b"))
+        .agg(count(lit(1)).as("overlap_exact"))
+      val ndA = pc.groupBy(col("p").as("slice_a"))
+        .agg(count(lit(1)).as("nd_a_exact"))
+      est.join(exact, Seq("slice_a", "slice_b")).join(ndA, Seq("slice_a"))
+        .select(col("slice_a"), col("slice_b"), col("overlap_exact"),
+          (col("nd_a_exact") - col("overlap_exact")).as("a_only_exact"),
+          (abs(col("overlap_est") - col("overlap_exact")) <=
+            col("overlap_exact") * 0.05 + 64).as("ok"),
+          (abs(col("a_only_est") - (col("nd_a_exact") - col("overlap_exact"))) <=
+            (col("nd_a_exact") - col("overlap_exact")) * 0.25 + 64).as("ok_diff"))
+        .orderBy("slice_a", "slice_b")
+    }),
+
     // A14: incremental aggregate maintenance — the nightly operation
     // of a maintained rollup table: history (orders before 1997) is
     // reduced ONCE to per-key mergeable state (count, decimal-exact
@@ -1301,6 +1331,32 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Equi-depth (quantile) binning: 4 ~equal-population intervals of
+    // the integer-valued quantity column (interpolated boundaries land
+    // on integers/halves, so the bin comparisons are engine-exact —
+    // the q_a2_median argument). Exact percentile arm = oracle arm;
+    // the approx arm is spec-gated in SketchOpsSpec.
+    "q_equidepth" -> ((s, dir) => {
+      Profile.equidepth(t(s, dir, "lineitem"), "l_quantity", bins = 4)
+        .orderBy("bin")
+    }),
+
+    // Join-key skew diagnostic: the 5 heaviest l_suppkey values with
+    // their over-uniform factor — the pre-flight for salting/AQE-skew
+    // decisions on a planned supplier-keyed join.
+    "q_key_skew" -> ((s, dir) => {
+      Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", topK = 5)
+    }),
+
+    // Exact join cardinality WITHOUT executing the join: per-key count
+    // tables joined on the key (one row per distinct key), Σ nₐ·n_b.
+    // The pre-flight a 100 TB fact–fact join runs before committing a
+    // cluster to the real thing.
+    "q_join_size" -> ((s, dir) => {
+      Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")
+    }),
+
     // Data-quality profile: per-column null/distinct/min/max/mean, one pass
     "q_profile" -> ((s, dir) => {
       Profile.profile(t(s, dir, "lineitem"),
@@ -1796,6 +1852,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Text.tfidfTopTerms(docs, "doc_id", "text", k = 5, nDocs = docs.count())
         .orderBy("doc_id", "rank")
+    }),
+
+    // Text 10b: PMI collocations — the corpus-analysis pass for
+    // multi-word expressions: top bigrams by pointwise mutual
+    // information over bigram positions (position-specific marginals),
+    // rare tail cut at minCount. Rank key is the ROUNDED pmi + bigram
+    // so the top-k membership is engine-reproducible.
+    "q_text_pmi" -> ((s, dir) => {
+      Text.collocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 20)
     }),
 
     // Text 11: CCNet-style LM quality filter — bigram LM with add-one
@@ -2403,6 +2469,20 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact overlaps recomputed from the distinct (priority, custkey)
+    // pair self-join; ok (the sketch-vs-exact bound) pinned TRUE
+    "q_theta_overlap" ->
+      """WITH pc AS (
+        |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+        |nd AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS nd_a FROM pc GROUP BY p)
+        |SELECT x.p AS slice_a, y.p AS slice_b,
+        |  CAST(COUNT(*) AS BIGINT) AS overlap_exact,
+        |  CAST(MIN(nd.nd_a) - COUNT(*) AS BIGINT) AS a_only_exact,
+        |  TRUE AS ok, TRUE AS ok_diff
+        |FROM pc x JOIN pc y ON x.c = y.c AND x.p < y.p
+        |JOIN nd ON nd.p = x.p
+        |GROUP BY x.p, y.p ORDER BY slice_a, slice_b""".stripMargin,
 
     // the merged state must equal the from-scratch aggregate: decimal
     // sum route matches Exact.sqlSum bit-for-bit; nd_ok pinned TRUE
@@ -3133,6 +3213,37 @@ object SparkEntry {
         |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(0.0 + bucket * 5000.0 AS DOUBLE) AS lo_edge
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // quantile_cont matches Spark's interpolated percentile (the q_a8
+    // parity); bin = count of boundaries strictly below the value
+    "q_equidepth" ->
+      """WITH bs AS (
+        |  SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS b FROM lineitem),
+        |binned AS (
+        |  SELECT l_quantity,
+        |    CAST(CASE WHEN l_quantity > b[1] THEN 1 ELSE 0 END
+        |       + CASE WHEN l_quantity > b[2] THEN 1 ELSE 0 END
+        |       + CASE WHEN l_quantity > b[3] THEN 1 ELSE 0 END AS INTEGER) AS bin
+        |  FROM lineitem, bs)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+        |SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt, n_keys, n_rows,
+        |  ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew
+        |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin,
+
+    "q_join_size" ->
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(na * nb) AS BIGINT) AS join_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+        |  CAST(MAX(na * nb) AS BIGINT) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
 
     "q_profile" -> {
       def block(c: String) =
@@ -3955,6 +4066,30 @@ object SparkEntry {
     // mirrors Text.tfidfTopTerms: same smoothed idf, same tie-break.
     // Scores of distinct (tf, df) pairs differ macroscopically, so the
     // ranking is engine-stable; equal pairs tie-break on term asc.
+    // bigram extraction identical to the lm_score CTEs; marginals from
+    // the aggregated bigram table; double casts ordered as the Spark
+    // side computes them, ln rounded 6dp (the shared log recipe)
+    "q_text_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |ix AS (SELECT w, unnest(range(1, greatest(len(w), 2))) AS i FROM t),
+        |bg AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM ix WHERE len(w) >= 2 GROUP BY 1),
+        |la AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+        |       FROM bg GROUP BY 1),
+        |rb AS (SELECT string_split(bg, ' ')[2] AS w2, CAST(SUM(c_ab) AS BIGINT) AS c_b
+        |       FROM bg GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bg)
+        |SELECT bg.bg, c_ab,
+        |  ROUND(ln((CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+        |           (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+        |FROM bg
+        |JOIN la ON la.w1 = string_split(bg.bg, ' ')[1]
+        |JOIN rb ON rb.w2 = string_split(bg.bg, ' ')[2]
+        |CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, bg.bg LIMIT 20""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

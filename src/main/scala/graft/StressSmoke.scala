@@ -128,8 +128,17 @@ object StressSmoke {
     // round 13 (second wave): mergeable-sketch rollup and incremental
     // state maintenance — both plain map-side-combinable aggregates
     // over the replicated star schema (output is per-key, flat), so
-    // their ratios read the aggregate scan cost directly
-    "q_hll_rollup", "q_agg_incremental")
+    // their ratios read the aggregate scan cost directly — plus the
+    // pre-flight diagnostics (equi-depth bins, key skew, join
+    // cardinality: aggregate-then-tiny-join shapes) and the PMI
+    // collocation pass (explode→count + vocab-sized marginal joins)
+    "q_hll_rollup", "q_agg_incremental",
+    "q_equidepth", "q_key_skew", "q_join_size", "q_text_pmi",
+    // theta overlap: per-slice sketch aggregation over the replicated
+    // orders table; the pairwise intersection stays O(slices²) sketch
+    // rows no matter the scale (the exact verification arm's distinct
+    // self-join is the part that grows)
+    "q_theta_overlap")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -301,6 +301,46 @@ object Text {
       .select(col(idCol), col("rank"), col("term"), round(col("score"), 6).as("score"))
   }
 
+  /** Corpus collocations by pointwise mutual information: bigrams
+    * whose joint frequency most exceeds the independence expectation —
+    * PMI(a,b) = ln(c(ab)·N / (c_L(a)·c_R(b))) over bigram positions,
+    * with position-specific marginals (a's count as a LEFT word, b's
+    * as a RIGHT word) so the model and its marginals describe the same
+    * sample space. The standard corpus-analysis pass for multi-word
+    * expressions / domain phrase discovery (Church & Hanks 1990);
+    * `minCount` drops the unstable rare-pair tail PMI is biased toward.
+    *
+    * Output: top `topK` rows (bg, c_ab, pmi round-6), ranked by
+    * (rounded pmi, bigram) — the rounded key keeps the rank
+    * engine-reproducible.
+    *
+    * Scale shape: one explode→count per bigram (map-side combinable,
+    * shuffle carries distinct bigrams); marginals derive from the
+    * aggregated bigram table, not the token stream; the scoring joins
+    * are between aggregated vocab-sized tables; top-k is a TakeOrdered,
+    * never a global sort. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val bg = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val leftM = bg.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum("c_ab").as("c_a"))
+    val rightM = bg.groupBy(element_at(split(col("bg"), " "), 2).as("w2"))
+      .agg(sum("c_ab").as("c_b"))
+    val n = bg.agg(sum("c_ab").as("n"))
+    bg.filter(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(leftM, Seq("w1"))
+      .join(rightM, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("n").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(topK)
+  }
+
   /** CCNet-style language-model quality score: a bigram LM with
     * add-one (Laplace) smoothing estimated on a REFERENCE corpus
     * scores every target document by its mean negative

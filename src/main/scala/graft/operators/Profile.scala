@@ -231,6 +231,72 @@ object Profile {
   /** Fixed-width histogram of a numeric column over [lo, hi): one
     * hash aggregate on the bucket index (values outside the range
     * clamp to the edge buckets). */
+  /** Equi-depth (quantile) binning: assign each row the index of the
+    * quantile interval its value falls in (`bins` intervals of ~equal
+    * population — feature discretization, score banding, balanced
+    * range-shard planning), and report each bin's population and value
+    * range. Complements [[histogram]]'s equal-WIDTH buckets, which
+    * degenerate under heavy tails (one bucket takes everything).
+    *
+    * Boundaries come from one aggregation (`bins`−1 interpolated
+    * percentiles), broadcast back over the corpus as a literal array —
+    * the stream assigns bins with a fold over that array, no
+    * per-row join or window. `approx = true` is the 100 TB arm
+    * (GK-sketch percentiles — map-side partial merge instead of a
+    * per-group value buffer), same output shape, boundaries within the
+    * sketch's rank error. Note for oracle parity: boundary COMPARISONS
+    * (v > bᵢ) are only engine-exact when interpolated boundaries are
+    * (integer-valued columns — the q_a2_median argument). */
+  def equidepth(df: DataFrame, valueCol: String, bins: Int,
+                approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins).mkString(", ")
+    val bounds = df.agg(
+      (if (approx) expr(s"approx_percentile($valueCol, array($qs), $accuracy)")
+       else expr(s"percentile($valueCol, array($qs))")).as("_bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin", aggregate(col("_bs"), lit(0),
+        (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Join-key skew diagnostic: the `topK` heaviest values of `keyCol`
+    * with their share of the table — the pre-flight check that decides
+    * whether a planned join/aggregation on this key needs salting
+    * ([[Skew]]) or AQE skew handling. `skew` is the key's count over
+    * the mean per-key count (1.0 = perfectly uniform). One map-side
+    * combinable count per key, a TakeOrdered top-k (never a global
+    * sort), and a broadcast of the 1-row stats — nothing driver-side. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol), col("cnt"), col("n_keys"), col("n_rows"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew"))
+  }
+
+  /** Exact inner-join cardinality WITHOUT executing the join: for an
+    * equi-join on `leftKey = rightKey`, |A ⋈ B| = Σ_k nₐ(k)·n_b(k) —
+    * computable from the two per-key count tables, whose join carries
+    * one row per distinct key instead of one per output row. The
+    * 100 TB pre-flight for a fact–fact join: know the output (and the
+    * hottest key's contribution, the skew ceiling) before committing a
+    * cluster to producing it. Returns one row: `join_rows`,
+    * `n_matching_keys`, `max_key_rows`. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("_k")).agg(count(lit(1)).as("_na"))
+    val rb = right.groupBy(col(rightKey).as("_k")).agg(count(lit(1)).as("_nb"))
+    la.join(rb, "_k")
+      .agg(sum(col("_na") * col("_nb")).as("join_rows"),
+        count(lit(1)).as("n_matching_keys"),
+        max(col("_na") * col("_nb")).as("max_key_rows"))
+  }
+
   def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
                 nBuckets: Int): DataFrame = {
     val w = (hi - lo) / nBuckets

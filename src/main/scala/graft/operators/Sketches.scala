@@ -88,4 +88,36 @@ object Sketches {
       hll_union_agg(col("nd_sketch")).as("nd_sketch"))
       .withColumn("nd_est", round(hll_sketch_estimate(col("nd_sketch"))).cast("long"))
       .drop("nd_sketch")
+
+  /** Per-slice THETA partials ([[graft.functions.ThetaSketchAgg]]) —
+    * like [[hllPartials]] but the sketch supports set operations:
+    * slices' distinct sets can later INTERSECT, the question HLL state
+    * cannot answer without rescanning raw rows. */
+  def thetaPartials(df: DataFrame, sliceCols: Seq[String], ndCol: String,
+                    lgK: Int = 12): DataFrame =
+    df.groupBy(sliceCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      graft.functions.ThetaSketchAgg(col(ndCol), lgK).as("theta"))
+
+  /** Pairwise distinct-overlap estimates between every two slices of a
+    * theta-partial table: |distinct(A) ∩ distinct(B)| per (a, b) pair
+    * with a < b — audience overlap, crawl intersection, segment
+    * containment. The pairing is slices × slices on per-slice SKETCH
+    * rows (tiny by construction — one row per slice), so the
+    * inequality join is O(slices²) sketch intersections, independent
+    * of corpus size; exact whenever both slices stayed under the
+    * sketch's nominal entry count. */
+  def distinctOverlap(partials: DataFrame, sliceCol: String): DataFrame = {
+    import graft.functions.{ThetaDiffEstimate, ThetaEstimate, ThetaIntersectEstimate}
+    val a = partials.select(col(sliceCol).as("slice_a"), col("theta").as("_ta"))
+    val b = partials.select(col(sliceCol).as("slice_b"), col("theta").as("_tb"))
+    a.join(b, col("slice_a") < col("slice_b"))
+      .select(col("slice_a"), col("slice_b"),
+        round(ThetaEstimate(col("_ta"))).cast("long").as("nd_a_est"),
+        round(ThetaEstimate(col("_tb"))).cast("long").as("nd_b_est"),
+        round(ThetaIntersectEstimate(col("_ta"), col("_tb"))).cast("long")
+          .as("overlap_est"),
+        round(ThetaDiffEstimate(col("_ta"), col("_tb"))).cast("long")
+          .as("a_only_est"))
+  }
 }

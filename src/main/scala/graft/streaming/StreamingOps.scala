@@ -415,6 +415,86 @@ object StreamingOps {
     sources.size
   }
 
+  // state snapshot dirs: one full per-key state table per micro-batch
+  private val StateSnap = "state=(\\d+)".r
+
+  /** Streaming incremental aggregate maintenance — the streaming face
+    * of [[graft.operators.Sketches]]: each micro-batch folds into a
+    * maintained per-key state table (count, decimal-exact sum,
+    * min/max, HLL distinct sketch) via `Sketches.updateState`, and the
+    * updated RENDERED state is handed to `emit`. Unlike the dedup
+    * ledger (append-only history), aggregate state REPLACES itself, so
+    * each batch writes a full `state=<batchId>` snapshot (tiny — one
+    * row per key) and reads only the LATEST prior snapshot; raw
+    * history is never rescanned. Re-run idempotence mirrors the
+    * ledger: a re-run of batch N ignores its own half-written
+    * `state=N` dir and rebuilds it from `state=<N−1>` + the batch.
+    * Old snapshots are time-travel; bound them with
+    * [[pruneStateSnapshots]]. Fails fast when a fresh checkpoint
+    * reuses an old state dir (same coherence guard as the ledger). */
+  def aggStateStream(rows: DataFrame, keyCols: Seq[String], valCol: String,
+                     ndCol: String, stateDir: String, checkpointDir: String,
+                     emit: DataFrame => Unit,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Sketches
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val snaps: Seq[Long] =
+          if (!fs.exists(root)) Nil
+          else fs.listStatus(root).toSeq.filter(_.isDirectory)
+            .flatMap(_.getPath.getName match {
+              case StateSnap(n) => Some(n.toLong)
+              case _            => None
+            })
+        if (snaps.exists(_ > batchId))
+          throw new IllegalStateException(
+            s"state dir $stateDir already holds state=${snaps.max} > " +
+              s"current batch $batchId: the checkpoint was reset without " +
+              "resetting the state dir — stateDir and checkpointDir must " +
+              "be reset (or kept) together")
+        val prior = snaps.filter(_ < batchId) // own dir = failed re-run
+        val next =
+          if (prior.isEmpty) Sketches.aggState(batch, keyCols, valCol, ndCol)
+          else Sketches.updateState(
+            s.read.parquet(s"$stateDir/state=${prior.max}"),
+            batch, keyCols, valCol, ndCol)
+        val staged = next.localCheckpoint() // consumed twice: write + emit
+        staged.write.mode("overwrite").parquet(s"$stateDir/state=$batchId")
+        emit(Sketches.readState(staged))
+        ()
+      }
+      .start()
+
+  /** Drop all but the newest `keepLastN` state snapshots — the
+    * maintenance pass bounding [[aggStateStream]]'s one-dir-per-batch
+    * time-travel history. Always safe while the stream runs: every
+    * batch reads only the latest snapshot strictly below its id, and a
+    * re-runnable batch's predecessor is the newest snapshot, which is
+    * always kept (keepLastN ≥ 1). Returns the number deleted. */
+  def pruneStateSnapshots(spark: SparkSession, stateDir: String,
+                          keepLastN: Int = 2): Int = {
+    require(keepLastN >= 1, s"need keepLastN >= 1, got $keepLastN")
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val snaps = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case StateSnap(n) => Some((st.getPath, n.toLong))
+        case _            => None
+      }).sortBy(_._2)
+    val stale = snaps.dropRight(keepLastN)
+    stale.foreach(p => fs.delete(p._1, true))
+    stale.size
+  }
+
   def sessionCounts(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout

@@ -1,14 +1,58 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, Sketches}
+import graft.functions.Text
+import graft.operators.{Dedup, Profile, Sampling, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Round-13 additions: mergeable aggregate state (HLL + additive),
-  * quality-aware dedup apply, and leakage-safe splitting. */
+  * quality-aware dedup apply, leakage-safe splitting, and the
+  * profiling/corpus diagnostics (equi-depth bins, key skew, join
+  * cardinality, PMI collocations). */
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+
+  test("equidepth: quartile bins of 1..8 hold 2 rows each; approx arm agrees here") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    // boundaries = interpolated (2.75, 4.5, 6.25) → bins {1,2},{3,4},{5,6},{7,8}
+    val got = Profile.equidepth(df, "v", bins = 4).orderBy("bin")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.toSeq === Seq((0, 2L, 1.0, 2.0), (1, 2L, 3.0, 4.0),
+      (2, 2L, 5.0, 6.0), (3, 2L, 7.0, 8.0)))
+    // at a size far under the sketch accuracy the GK arm is exact too
+    val approx = Profile.equidepth(df, "v", bins = 4, approx = true)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    assert(approx.toSeq === got.toSeq)
+  }
+
+  test("keySkew ranks the heaviest keys with their over-uniform factor") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Profile.keySkew(df, "k", topK = 2)
+      .as[(String, Long, Long, Long, Double)].collect()
+    // n_keys=3, n_rows=10: a → 6·3/10 = 1.8, b → 3·3/10 = 0.9
+    assert(got.toSeq === Seq(("a", 6L, 3L, 10L, 1.8), ("b", 3L, 3L, 10L, 0.9)))
+  }
+
+  test("joinCardinality predicts the inner-join size without executing it") {
+    val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
+    val got = Profile.joinCardinality(left, "lk", right, "rk")
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((4L, 2L, 2L))) // keys 1: 2·1, 2: 1·2 → 4 rows total
+    assert(left.join(right, col("lk") === col("rk")).count() === got._1)
+  }
+
+  test("collocations: PMI from position-specific marginals, rank by rounded pmi then bigram") {
+    val docs = Seq("x y x y", "z w").toDF("text")
+    val got = Text.collocations(docs, "text", minCount = 1, topK = 10)
+      .as[(String, Long, Double)].collect()
+    // bigram positions: "x y"×2, "y x"×1, "z w"×1 (N=4)
+    // PMI(x y) = ln(2·4/(2·2)) = ln2; PMI(y x) = PMI(z w) = ln4 —
+    // the tie breaks on the bigram string
+    assert(got.toSeq === Seq(
+      ("y x", 1L, 1.386294), ("z w", 1L, 1.386294), ("x y", 2L, 0.693147)))
+  }
 
   test("aggState + mergeStates: merged slices equal the one-shot aggregate exactly") {
     val rows = (0 until 1000).map(i => (i.toLong, s"p${i % 3}", (i % 97).toDouble, i.toLong % 250))
@@ -68,6 +112,40 @@ class SketchOpsSpec extends SparkSpec {
       assert(k === ek && n === en)
       assert(math.abs(est - nd) <= nd * 0.02 + 16, s"key $k: est $est vs exact $nd")
     }
+  }
+
+  test("theta overlap: exact below nominal entries, partitioning-independent") {
+    // slices: a = {0..999}, b = {500..1499} → overlap 500; both under
+    // 2^12 nominal entries, so the theta sketch holds the full set and
+    // every estimate is EXACT
+    val rows = (0 until 1000).map(u => ("a", u.toLong)) ++
+      (500 until 1500).map(u => ("b", u.toLong))
+    val df = rows.toDF("slice", "u")
+    val got = Sketches.distinctOverlap(
+      Sketches.thetaPartials(df, Seq("slice"), "u"), "slice")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("a", "b", 1000L, 1000L, 500L, 500L)))
+    // hash-ordered retention ⇒ the sketch is a pure function of the
+    // SET: any partitioning/merge tree yields the same bytes
+    val repart = Sketches.distinctOverlap(
+      Sketches.thetaPartials(df.repartition(7, col("u")), Seq("slice"), "u"),
+      "slice").as[(String, String, Long, Long, Long, Long)].collect()
+    assert(repart.toSeq === got.toSeq)
+  }
+
+  test("theta overlap: sampling regime stays within the published error") {
+    // 30k vs 30k with 15k shared, lgK=12 (4096 entries) → sampling;
+    // intersection error ≈ (1/√k)·√(|A∪B|/|A∩B|) ≈ 2.7% here
+    val rows = (0 until 30000).map(u => ("a", u.toLong)) ++
+      (15000 until 45000).map(u => ("b", u.toLong))
+    val got = Sketches.distinctOverlap(
+      Sketches.thetaPartials(rows.toDF("slice", "u"), Seq("slice"), "u"),
+      "slice").as[(String, String, Long, Long, Long, Long)].collect().head
+    assert(math.abs(got._5 - 15000L) <= 15000 * 0.08,
+      s"overlap estimate ${got._5} off from 15000")
+    assert(math.abs(got._3 - 30000L) <= 30000 * 0.05)
+    assert(math.abs(got._6 - 15000L) <= 15000 * 0.08,
+      s"a-only estimate ${got._6} off from 15000")
   }
 
   test("applyNearDupsKeepBest keeps the max-score member, min-id on ties, singletons whole") {

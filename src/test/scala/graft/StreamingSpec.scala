@@ -391,6 +391,74 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledgerDir).count() === 2L)
   }
 
+  test("aggStateStream maintains per-key state across micro-batches, equals batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aggstate_")
+    val stateDir = tmp.resolve("state").toString
+    @volatile var last: Array[(String, Long, Double, Double, Double, Long)] = Array.empty
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString,
+      emit = b => last = b
+        .select("key", "n", "sum_v", "min_v", "max_v", "nd_est")
+        .as[(String, Long, Double, Double, Double, Long)].collect())
+    val b1 = Seq(("a", 1.5, 10L), ("a", 2.5, 11L), ("b", 9.0, 20L))
+    val b2 = Seq(("a", 4.0, 10L), ("b", -1.0, 21L), ("c", 0.5, 30L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val expected = Sketches.readState(
+      Sketches.aggState((b1 ++ b2).toDF("key", "v", "u"), Seq("key"), "v", "u"))
+      .select("key", "n", "sum_v", "min_v", "max_v", "nd_est")
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+    // tiny exact distincts: the HLL estimate is exact at this scale
+    assert(last.map(_._1).toSet === Set("a", "b", "c"))
+    assert(last.find(_._1 == "a").get._6 === 2L)
+    // one snapshot dir per micro-batch; prune keeps only the newest
+    val root = new java.io.File(stateDir)
+    assert(root.listFiles().count(_.getName.startsWith("state=")) === 2)
+    assert(StreamingOps.pruneStateSnapshots(spark, stateDir, keepLastN = 1) === 1)
+    assert(root.listFiles().count(_.getName.startsWith("state=")) === 1)
+    // the surviving snapshot is the latest and still renders correctly
+    val rendered = Sketches.readState(spark.read.parquet(s"$stateDir/state=1"))
+      .select("key", "n").as[(String, Long)].collect().toMap
+    assert(rendered === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("aggStateStream fails fast when a fresh checkpoint reuses an old state dir") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aggguard_")
+    val stateDir = tmp.resolve("state").toString
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData(("a", 1.0, 1L)); q.processAllAvailable()
+    in.addData(("a", 2.0, 2L)); q.processAllAvailable()
+    q.stop()
+    // fresh checkpoint restarts batchId at 0 while state=1 survives:
+    // the guard must refuse rather than fork a stale lineage
+    val in2 = MemoryStream[(String, Double, Long)]
+    val q2 = StreamingOps.aggStateStream(
+      in2.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt2").toString, emit = _ => ())
+    in2.addData(("b", 3.0, 3L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("reset without")), messages(e).mkString(" | "))
+  }
+
   test("followWithinJoin: stream-stream join == batch join (views → purchases)") {
     import spark.implicits._
     val ev = Tables(spark, sf, "events")
