@@ -125,6 +125,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("mergeable-state plans: map-side sketch partials, no exchange after the state union") {
+    // q_hll_rollup: both aggregation levels must partial-combine
+    // map-side (partial_hll_sketch_agg under the first exchange,
+    // partial_hll_union_agg under the merge) — the property that makes
+    // the rollup a state-table read instead of a raw-row reshuffle
+    val rollup = physicalPlan("q_hll_rollup")
+    assert(rollup.contains("partial_hll_sketch_agg"), rollup.take(2000))
+    assert(rollup.contains("partial_hll_union_agg"), rollup.take(2000))
+    // q_agg_incremental: the state-merge aggregate sits directly on the
+    // Union of the two pre-partitioned state branches — no Exchange
+    // between them (both branches already hash-partition on the key)
+    val incPlan = physicalPlan("q_agg_incremental")
+    // direct parent chain: no shuffle between the Union of the two
+    // pre-partitioned state branches and the merge aggregate above it
+    assert(incPlan.contains("Union"), incPlan.take(2000))
+    val unionIdx = incPlan.indexOf("Union")
+    val mergeIdx = incPlan.lastIndexOf("ObjectHashAggregate", unionIdx)
+    assert(mergeIdx >= 0, incPlan.take(2000))
+    assert(!incPlan.substring(mergeIdx, unionIdx).contains("Exchange"),
+      incPlan.substring(mergeIdx, math.min(unionIdx + 200, incPlan.length)))
+  }
+
   test("vocab-id assignment has no global un-partitioned window") {
     // Text.buildVocab replaces row_number() OVER (ORDER BY token) — a
     // single-task global window — with range-partition + zipWithIndex;

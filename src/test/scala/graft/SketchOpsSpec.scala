@@ -133,6 +133,19 @@ class SketchOpsSpec extends SparkSpec {
     assert(repart.toSeq === got.toSeq)
   }
 
+  test("theta partials survive a parquet round-trip (the state-table path)") {
+    // production stores partials as a table and intersects LATER runs'
+    // sketches against them — the binary column must round-trip
+    val rows = (0 until 800).map(u => ("a", u.toLong)) ++
+      (400 until 1200).map(u => ("b", u.toLong))
+    val partials = Sketches.thetaPartials(rows.toDF("slice", "u"), Seq("slice"), "u")
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta_").toString
+    partials.write.mode("overwrite").parquet(dir)
+    val got = Sketches.distinctOverlap(spark.read.parquet(dir), "slice")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("a", "b", 800L, 800L, 400L, 400L)))
+  }
+
   test("theta overlap: sampling regime stays within the published error") {
     // 30k vs 30k with 15k shared, lgK=12 (4096 entries) → sampling;
     // intersection error ≈ (1/√k)·√(|A∪B|/|A∩B|) ≈ 2.7% here
