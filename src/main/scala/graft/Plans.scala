@@ -74,7 +74,7 @@ object Plans {
     // nested-loop on SKETCH rows, documented); the pre-flight
     // diagnostics (aggregate-then-broadcast-scalar shapes); leak-free
     // split (label table joined on the id, corpus streams once)
-    "q_hll_rollup", "q_agg_incremental", "q_theta_overlap",
+    "q_hll_rollup", "q_agg_incremental", "q_theta_overlap", "q_kll_rollup",
     "q_key_skew", "q_join_size", "q_equidepth", "q_text_pmi",
     "q_split_leakfree", "q_dedup_keep_best")
 

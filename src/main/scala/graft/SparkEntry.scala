@@ -380,6 +380,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A16: KLL quantile-sketch rollup — the percentile leg of the
+    // state-table family: per-(flag × status) KLL partials of the
+    // price column merge per flag, and p50/p90 come from the merged
+    // STATE, never re-reading raw rows. Estimate contract: each
+    // quantile lands inside the exact ±1%-rank band (k=800 → ~0.5%
+    // rank error), pinned TRUE by the oracle; n is the exact count.
+    "q_kll_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val merged = Sketches.kllMerge(
+        Sketches.kllPartials(li, Seq("l_returnflag", "l_linestatus"),
+          "l_extendedprice"),
+        Seq("l_returnflag"))
+      val bands = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.89, 0.91))")
+          .as("eb"))
+      Sketches.kllQuantiles(merged, Seq(0.5, 0.9)).join(bands, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("q50") >= col("eb")(0) && col("q50") <= col("eb")(1)).as("med_ok"),
+          (col("q90") >= col("eb")(2) && col("q90") <= col("eb")(3)).as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // A15: theta-sketch distinct OVERLAP — the set operation HLL state
     // cannot do: per-slice theta partials intersect pairwise to
     // estimate |distinct(A) ∩ distinct(B)| (shared customers between
@@ -2468,6 +2490,13 @@ object SparkEntry {
     "q_hll_rollup" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // merged-sketch quantiles are engine-side; the oracle pins the
+    // rank-band checks TRUE and recomputes the exact counts
+    "q_kll_rollup" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS med_ok, TRUE AS p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // exact overlaps recomputed from the distinct (priority, custkey)

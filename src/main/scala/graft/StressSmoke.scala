@@ -138,7 +138,11 @@ object StressSmoke {
     // orders table; the pairwise intersection stays O(slices²) sketch
     // rows no matter the scale (the exact verification arm's distinct
     // self-join is the part that grows)
-    "q_theta_overlap")
+    "q_theta_overlap",
+    // kll rollup: quantiles from merged sketch state — the percentile
+    // leg of the state family (the exact-percentile band verification
+    // is the growing part, as with the other *_ok contracts)
+    "q_kll_rollup")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices

@@ -89,6 +89,30 @@ object Sketches {
       .withColumn("nd_est", round(hll_sketch_estimate(col("nd_sketch"))).cast("long"))
       .drop("nd_sketch")
 
+  /** Per-slice KLL quantile partials ([[graft.functions.KllSketchAgg]])
+    * — the percentile leg of the state-table family: p50/p90/p99 of
+    * any rollup from persisted state rows, raw rows reduced once. */
+  def kllPartials(df: DataFrame, sliceCols: Seq[String], valCol: String,
+                  k: Int = 800): DataFrame =
+    df.groupBy(sliceCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      graft.functions.KllSketchAgg(col(valCol), k).as("q_sketch"))
+
+  /** Merge KLL partials up to coarser `keyCols`; the sketch column
+    * stays a sketch so further rollups keep merging. */
+  def kllMerge(partials: DataFrame, keyCols: Seq[String], k: Int = 800): DataFrame =
+    partials.groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      graft.functions.KllSketchAgg(col("q_sketch"), k).as("q_sketch"))
+
+  /** Quantile estimates at `ranks` from a (possibly merged) KLL
+    * partial table: one `q<rank>` column per requested rank. */
+  def kllQuantiles(merged: DataFrame, ranks: Seq[Double]): DataFrame =
+    ranks.foldLeft(merged) { (df, r) =>
+      df.withColumn(s"q${(r * 100).round}",
+        graft.functions.KllQuantileEstimate(col("q_sketch"), lit(r)))
+    }.drop("q_sketch")
+
   /** Per-slice THETA partials ([[graft.functions.ThetaSketchAgg]]) —
     * like [[hllPartials]] but the sketch supports set operations:
     * slices' distinct sets can later INTERSECT, the question HLL state

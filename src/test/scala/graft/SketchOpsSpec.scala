@@ -133,6 +133,22 @@ class SketchOpsSpec extends SparkSpec {
     assert(repart.toSeq === got.toSeq)
   }
 
+  test("kll partials: exact below k, slice merge and parquet round-trip agree") {
+    // 100 values across 4 slices, all under k=800 → the sketch holds
+    // the exact multiset and getQuantile is an exact order statistic
+    val df = (1 to 100).map(i => (s"s${i % 4}", i.toDouble)).toDF("slice", "v")
+    val partials = Sketches.kllPartials(df, Seq("slice"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_").toString
+    partials.write.mode("overwrite").parquet(dir)
+    val merged = Sketches.kllMerge(spark.read.parquet(dir), Seq.empty)
+    val got = Sketches.kllQuantiles(merged, Seq(0.5, 0.9))
+      .select("n", "q50", "q90").as[(Long, Double, Double)].collect().head
+    assert(got._1 === 100L)
+    // INCLUSIVE rank semantics: smallest value with rank ≥ p
+    assert(got._2 === 50.0, s"median ${got._2}")
+    assert(got._3 === 90.0, s"p90 ${got._3}")
+  }
+
   test("theta partials survive a parquet round-trip (the state-table path)") {
     // production stores partials as a table and intersects LATER runs'
     // sketches against them — the binary column must round-trip
