@@ -76,7 +76,15 @@ object Plans {
     // split (label table joined on the id, corpus streams once)
     "q_hll_rollup", "q_agg_incremental", "q_theta_overlap", "q_kll_rollup",
     "q_key_skew", "q_join_size", "q_equidepth", "q_text_pmi",
-    "q_split_leakfree", "q_dedup_keep_best")
+    "q_split_leakfree", "q_dedup_keep_best",
+    // round 14: the combined one-pass state row (ONE ObjectHashAggregate
+    // carrying HLL + KLL + theta partials over a single scan, merged by
+    // a second sketch-mode aggregate with no raw-row rescan) and the
+    // theta novelty face (history partials merge per key, batch sketch
+    // A-NOT-B's against them — sketch-row joins only). q_winsorize_approx
+    // is here because r14 swapped its GK arm for ONE kll_sketch_agg per
+    // group feeding both bounds.
+    "q_agg_state_full", "q_theta_novelty", "q_winsorize_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

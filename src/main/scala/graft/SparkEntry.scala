@@ -181,8 +181,9 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // A10-approx: winsorize with sketch bounds (the 100 TB arm of the
-    // winsorize dispatch — see Profile.winsorize). Exported as bound
+    // A10-approx: winsorize with KLL-sketch bounds (the 100 TB arm of
+    // the winsorize dispatch — see Profile.winsorize; ONE sketch per
+    // group serves both bounds). Exported as bound
     // checks: the approx p05/p95 must land within ±1% rank of exact
     // (oracle asserts TRUE), and n_escaped proves the clamp invariant
     // (no output value outside [_lo,_hi]) holds regardless of which
@@ -280,9 +281,11 @@ object SparkEntry {
           (col("_nk") >= col("_n51") && col("_nk") <= col("_n49")).as("kept_ok"))
     }),
 
-    // A12-approx: MAD fences from the GK sketch (the 100 TB arm of the
-    // madOutliers dispatch — exact per-group medians buffer each
-    // group's values; the sketch partial-merges map-side). Same
+    // A12-approx: MAD fences from the KLL quantile sketch (the 100 TB
+    // arm of the madOutliers dispatch — exact per-group medians buffer
+    // each group's values; the sketch partial-merges map-side; KLL
+    // replaced GK in r14 because GK's per-update constant made the
+    // sketch arm SLOWER than the exact arm at the x100 probe). Same
     // bound-check contract as the other approx twins: the approx
     // median must land within ±1% rank of the exact median, and the
     // approx MAD within ±1% rank of the exact median of the residuals
@@ -454,6 +457,69 @@ object SparkEntry {
           col("min_v"), col("max_v"), col("nd_exact"),
           (abs(col("nd_est") - col("nd_exact")) <=
             col("nd_exact") * 0.02 + 16).as("nd_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A17: combined FULL state row (r14) — count + decimal-exact sum +
+    // extremes + HLL distinct + KLL quantiles + theta distinct from
+    // ONE reduction of the raw rows; every rollup merges state rows.
+    // Exact columns (n, sum_v, min_v, max_v) must match the oracle's
+    // from-scratch aggregate bit-for-bit (decimal merge invariance);
+    // every sketch estimate rides its established bound contract,
+    // pinned TRUE.
+    "q_agg_state_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val merged = Sketches.mergeStatesFull(
+        Sketches.aggStateFull(o, Seq("o_orderpriority", "o_orderstatus"),
+          "o_totalprice", "o_custkey"),
+        Seq("o_orderpriority"))
+      val ex = o.groupBy("o_orderpriority").agg(
+        countDistinct(col("o_custkey")).as("nd_exact"),
+        expr("percentile(o_totalprice, array(0.49, 0.51, 0.89, 0.91))").as("eb"))
+      Sketches.readStateFull(merged, Seq(0.5, 0.9)).join(ex, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"), col("sum_v"),
+          col("min_v"), col("max_v"), col("nd_exact"),
+          (abs(col("nd_est") - col("nd_exact")) <=
+            col("nd_exact") * 0.02 + 16).as("nd_ok"),
+          (col("q50") >= col("eb")(0) && col("q50") <= col("eb")(1)).as("med_ok"),
+          (col("q90") >= col("eb")(2) && col("q90") <= col("eb")(3)).as("p90_ok"),
+          (abs(col("nd_theta_est") - col("nd_exact")) <=
+            col("nd_exact") * 0.05 + 16).as("theta_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A18: theta-state NOVELTY (r14) — "how many of this batch's ids
+    // are NEW vs the running state", the incremental-crawl churn
+    // question, answered per key from sketch rows alone: history theta
+    // partials (priority × year) merge per priority, the new slice's
+    // batch sketch A-NOT-B's against it; raw history never rescanned.
+    // Exact verification arm = per-priority distinct anti-join; the
+    // diff estimate rides the q_theta_overlap a_only bound (25% + 64
+    // slack — A-NOT-B compounds two sketches' error; both are exact
+    // at the gate SF where distincts sit under lgK=12's 4096 entries),
+    // pinned TRUE.
+    "q_theta_novelty" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      val hist = o.filter(col("o_orderdate") < cut)
+      val batch = o.filter(col("o_orderdate") >= cut)
+      val histParts = Sketches.thetaPartials(
+        hist.withColumn("yr", year(col("o_orderdate"))),
+        Seq("o_orderpriority", "yr"), "o_custkey", lgK = 12)
+      val nov = Sketches.thetaNovelty(histParts, batch,
+        Seq("o_orderpriority"), "o_custkey", lgK = 12)
+      val hc = hist.select(col("o_orderpriority").as("p"),
+        col("o_custkey").as("c")).distinct()
+      val bc = batch.select(col("o_orderpriority").as("p"),
+        col("o_custkey").as("c")).distinct()
+      val exact = bc.join(hc, Seq("p", "c"), "left_anti")
+        .groupBy(col("p").as("o_orderpriority"))
+        .agg(count(lit(1)).as("novel_exact"))
+      nov.join(exact, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_batch"),
+          coalesce(col("novel_exact"), lit(0L)).as("novel_exact"),
+          (abs(col("novel_est") - coalesce(col("novel_exact"), lit(0L))) <=
+            coalesce(col("novel_exact"), lit(0L)) * 0.25 + 64).as("ok"))
         .orderBy("o_orderpriority")
     }),
 
@@ -2522,6 +2588,39 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact, TRUE AS nd_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // exact columns recomputed from scratch (decimal sum route matches
+    // Exact.sqlSum bit-for-bit); all four sketch bound checks (HLL,
+    // KLL med/p90 rank bands, theta) computed engine-side, pinned TRUE
+    "q_agg_state_full" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ${dsumSql("o_totalprice")} AS sum_v,
+        |  MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact,
+        |  TRUE AS nd_ok, TRUE AS med_ok, TRUE AS p90_ok, TRUE AS theta_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // novelty exact arm = per-priority distinct anti-join of batch
+    // custkeys against history custkeys; the sketch-diff bound check
+    // is engine-side, pinned TRUE
+    "q_theta_novelty" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |bat AS (
+        |  SELECT o_orderpriority AS p, o_custkey AS c FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+        |nb AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_batch FROM bat GROUP BY p),
+        |novel AS (
+        |  SELECT b.p, CAST(COUNT(*) AS BIGINT) AS novel_exact
+        |  FROM (SELECT DISTINCT p, c FROM bat) b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.p = b.p AND h.c = b.c)
+        |  GROUP BY b.p)
+        |SELECT nb.p AS o_orderpriority, nb.n_batch,
+        |  CAST(COALESCE(novel.novel_exact, 0) AS BIGINT) AS novel_exact,
+        |  TRUE AS ok
+        |FROM nb LEFT JOIN novel ON novel.p = nb.p
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_a7_ols" -> Regression.oracleSql(
       "(SELECT c_nationkey, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice " +
         "FROM orders JOIN customer ON o_custkey = c_custkey)",
@@ -3266,12 +3365,15 @@ object SparkEntry {
         |  ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew
         |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin,
 
+    // join_rows/max_key_rows are DECIMAL(38,0) since r14: the operator
+    // multiplies per-key counts in decimal so a hot fact–fact key can
+    // never wrap Long silently (HUGEINT is the DuckDB-exact mirror)
     "q_join_size" ->
       """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
         |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
-        |SELECT CAST(SUM(na * nb) AS BIGINT) AS join_rows,
+        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS join_rows,
         |  CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
-        |  CAST(MAX(na * nb) AS BIGINT) AS max_key_rows
+        |  CAST(MAX(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS max_key_rows
         |FROM a JOIN b USING (k)""".stripMargin,
 
     "q_profile" -> {

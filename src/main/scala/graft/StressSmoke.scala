@@ -142,7 +142,17 @@ object StressSmoke {
     // kll rollup: quantiles from merged sketch state — the percentile
     // leg of the state family (the exact-percentile band verification
     // is the growing part, as with the other *_ok contracts)
-    "q_kll_rollup")
+    "q_kll_rollup",
+    // round 14 (closing the r13 measurement gap — these five shipped in
+    // r13 without x10/x100 entries): temperature mixture (one literal
+    // filter over the corpus), quality-aware keep-best and the two
+    // split faces (pmod-replicated canonical slices — same linear-
+    // candidate design as q_span_dedup), plus the r14 combined-state
+    // and theta-novelty queries (map-side-combinable aggregates over
+    // the replicated star schema; novelty's exact anti-join arm is the
+    // growing part)
+    "q_sample_temp", "q_dedup_keep_best", "q_split_leakfree",
+    "q_split_contamination", "q_agg_state_full", "q_theta_novelty")
 
   /** Stress-side bodies for the near-dup/ANN pack: SparkEntry's
     * canonical queries run the DetHash oracle arm on fixed id slices
@@ -253,6 +263,39 @@ object StressSmoke {
           graft.operators.Multimodal.patternMedia(ids, "doc_id")),
         "media_id", "ahash", maxHamming = 3, outA = "id_a", outB = "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // the canonical doc_id < 500 slices of the r13 curation queries,
+    // replicated into every replica via pmod (replica tokens are
+    // suffixed → shingle buckets never cross replicas → the Jaccard
+    // candidate set and the CC/winner work scale linearly)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(OFF)) < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      Dedup.applyNearDupsKeepBest(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(OFF)) < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      graft.operators.Sampling.leakFreeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select(col("doc_id"), col("unit").cast("long").as("unit"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "q_split_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(OFF)) < 500)
+      val pairs = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", w = 3, threshold = 0.05, maxBucket = 100)
+      val assigned = graft.operators.Sampling.byModulo(docs, "doc_id",
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      graft.operators.Sampling.splitContamination(assigned, "doc_id", pairs)
+        .orderBy("split_a", "split_b")
     }),
 
     // the canonical doc_id < 500 slice replicated into every replica:

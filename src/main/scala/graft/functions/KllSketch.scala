@@ -43,8 +43,13 @@ case class KllSketchAgg(child: Expression, k: Int,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  // guarded on child.resolved: prettyName renders inside analysis
+  // error messages / unresolved treeStrings, where forcing mergeMode
+  // (child.dataType) would throw UnresolvedException and mask the
+  // real error
   override def prettyName: String =
-    if (mergeMode) "kll_union_agg" else "kll_sketch_agg"
+    if (!child.resolved) "kll_sketch_agg"
+    else if (mergeMode) "kll_union_agg" else "kll_sketch_agg"
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)

@@ -28,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The result is the serialized compact sketch (binary), deterministic
   * for a given input SET (hash-ordered, insensitive to row order and
   * partitioning).
+  *
+  * Dual-mode input, mirroring [[KllSketchAgg]]: a scalar child BUILDS
+  * a sketch from values; a BINARY child UNIONS previously serialized
+  * sketches — the rollup pass over a theta partial table (merge
+  * per-slice state up to coarser keys without touching raw rows).
   */
 case class ThetaSketchAgg(child: Expression, lgK: Int,
                           mutableAggBufferOffset: Int = 0,
@@ -36,23 +41,38 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
 
   require(lgK >= 4 && lgK <= 26, s"need 4 <= lgK <= 26, got $lgK")
 
+  // resolved only after analysis — must stay lazy (construction sees
+  // an unresolved child whose dataType throws); prettyName falls back
+  // unresolved for the same reason as KllSketchAgg
+  private lazy val mergeMode = child.dataType == BinaryType
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "theta_sketch_agg"
+  override def prettyName: String =
+    if (!child.resolved) "theta_sketch_agg"
+    else if (mergeMode) "theta_union_agg" else "theta_sketch_agg"
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
-    if (v != null) v match {
-      case l: Long        => buf.update(l)
-      case i: Int         => buf.update(i.toLong)
-      case s: UTF8String  => buf.update(s.toString)
-      case d: Double      => buf.update(d)
-      case other => throw new IllegalArgumentException(
-        s"theta_sketch_agg: unsupported input ${other.getClass.getName}")
+    if (v != null) {
+      if (mergeMode) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      else v match {
+        case l: Long        => buf.update(l)
+        case i: Int         => buf.update(i.toLong)
+        case s: UTF8String  => buf.update(s.toString)
+        case d: Double      => buf.update(d)
+        // float/decimal canonicalize through double, matching the
+        // KllSketchAgg numeric path (the same value must hash the same
+        // whichever physical numeric type carried it)
+        case f: Float       => buf.update(f.toDouble)
+        case dec: org.apache.spark.sql.types.Decimal => buf.update(dec.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"theta_sketch_agg: unsupported input ${other.getClass.getName}")
+      }
     }
     buf
   }

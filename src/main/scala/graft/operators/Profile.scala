@@ -30,23 +30,37 @@ object Profile {
     * Exact-vs-approx dispatch: `approx = false` (default) computes
     * exact interpolated percentiles — a sort-based aggregate whose
     * per-group cost grows with group size; that is the oracle-matched
-    * arm. `approx = true` is the 100 TB arm: bounds come from
-    * `approx_percentile` (Greenwald–Khanna sketch, rank error ≤
-    * 1/`accuracy`), which partial-aggregates map-side and shuffles
-    * only merged sketches — the same sketch-for-sort swap the profile
-    * family makes with HLL (`approxDistinct`). The clamped output's
-    * INVARIANT (every `<valueCol>_w` lies inside [_lo, _hi]) is
-    * independent of which arm produced the bounds; only the bounds
-    * move, by at most the sketch's rank error. */
+    * arm. `approx = true` is the 100 TB arm: bounds come from ONE
+    * KLL quantile sketch per group ([[graft.functions.KllSketchAgg]],
+    * rank error ~0.5% at `sketchK` = 800, shrinking ~linearly in k),
+    * which partial-aggregates map-side and shuffles only merged
+    * sketches — the same sketch-for-sort swap the profile family
+    * makes with HLL (`approxDistinct`). KLL replaced the former GK
+    * `approx_percentile` arm in round 14: GK's per-update constant at
+    * oracle-band accuracy made the sketch arm SLOWER than the exact
+    * arm it relieves (32.0 s vs 25.8 s at the x100 probe); KLL's
+    * update is a cheap buffered insert with amortized compaction.
+    * The clamped output's INVARIANT (every `<valueCol>_w` lies inside
+    * [_lo, _hi]) is independent of which arm produced the bounds; only
+    * the bounds move, by at most the sketch's rank error. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 lo: Double, hi: Double, approx: Boolean = false,
-                accuracy: Int = 10000): DataFrame = {
+                sketchK: Int = 800): DataFrame = {
     require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo/$hi")
-    def pct(q: Double) =
-      if (approx) percentile_approx(col(valueCol), lit(q), lit(accuracy))
-      else percentile(col(valueCol), lit(q))
-    val bounds = df.groupBy(groupCols.map(col): _*).agg(
-      pct(lo).as("_lo"), pct(hi).as("_hi"))
+    val bounds =
+      if (approx)
+        // one sketch build per group, BOTH bounds read from it — the
+        // two-quantile shape must never pay two aggregation passes
+        df.groupBy(groupCols.map(col): _*)
+          .agg(graft.functions.KllSketchAgg(
+            col(valueCol).cast("double"), sketchK).as("_sk"))
+          .select(groupCols.map(col) :+
+            graft.functions.KllQuantileEstimate(col("_sk"), lit(lo)).as("_lo") :+
+            graft.functions.KllQuantileEstimate(col("_sk"), lit(hi)).as("_hi"): _*)
+      else
+        df.groupBy(groupCols.map(col): _*).agg(
+          percentile(col(valueCol), lit(lo)).as("_lo"),
+          percentile(col(valueCol), lit(hi)).as("_hi"))
     joinBounds(df, bounds, groupCols)
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
@@ -60,41 +74,67 @@ object Profile {
     * function of group size, not of the caller's guess; the sketch
     * arm costs bounded rank error (≤ 1/accuracy) but fixed state.
     *
-    * The estimate is one cheap probe aggregate reading ONLY the group
-    * columns (column-pruned scan; count + HLL distinct-groups — no
-    * value shuffle): rows / distinct groups. One extra scan is the
-    * price of not guessing; at 100 TB choosing the exact arm wrongly
-    * costs an O(group-size) single-task sort buffer instead. */
+    * Plan statistics first, probe only as fallback (round 14): when
+    * the optimized plan already KNOWS its row count (a LIMIT, a
+    * `range`, CBO table stats) the dispatch is free — in particular
+    * rowCount ≤ `perGroupBound` decides `false` with no job at all,
+    * since even a single group cannot exceed the bound; with CBO
+    * column stats the distinct-group product decides the grouped case
+    * too. Only when the plan carries no row count does the dispatch
+    * pay one cheap probe aggregate reading ONLY the group columns
+    * (column-pruned scan; count + HLL distinct-groups — no value
+    * shuffle): rows / distinct groups. At 100 TB an avoidable probe
+    * scan per dispatch call is real money — but choosing the exact
+    * arm wrongly costs an O(group-size) single-task sort buffer. */
   def useApprox(df: DataFrame, groupCols: Seq[String],
                 perGroupBound: Long = 1000000L): Boolean = {
     require(perGroupBound > 0, s"need perGroupBound > 0, got $perGroupBound")
-    val probe =
-      if (groupCols.isEmpty)
-        df.agg(count(lit(1)).as("n"), lit(1L).as("g"))
-      else
-        df.agg(count(lit(1)).as("n"),
-          approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
-    val r = probe.head()
-    r.getLong(0) / math.max(1L, r.getLong(1)) > perGroupBound
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    val fromStats: Option[Boolean] = stats.rowCount.flatMap { n =>
+      if (n <= BigInt(perGroupBound)) Some(false)
+      else if (groupCols.isEmpty) Some(true) // one global group of n rows
+      else {
+        val resolver = df.sparkSession.sessionState.conf.resolver
+        val dcs = groupCols.map { c =>
+          plan.output.find(a => resolver(a.name, c))
+            .flatMap(stats.attributeStats.get).flatMap(_.distinctCount)
+        }
+        if (dcs.forall(_.isDefined))
+          Some(n / dcs.flatten.product.min(n).max(BigInt(1)) >
+            BigInt(perGroupBound))
+        else None
+      }
+    }
+    fromStats.getOrElse {
+      val probe =
+        if (groupCols.isEmpty)
+          df.agg(count(lit(1)).as("n"), lit(1L).as("g"))
+        else
+          df.agg(count(lit(1)).as("n"),
+            approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
+      val r = probe.head()
+      r.getLong(0) / math.max(1L, r.getLong(1)) > perGroupBound
+    }
   }
 
   /** [[winsorize]] with the arm picked by [[useApprox]]: exact bounds
-    * while groups are small enough to buffer, GK-sketch bounds beyond
+    * while groups are small enough to buffer, KLL-sketch bounds beyond
     * `perGroupBound` rows per group. Same output schema either way. */
   def winsorizeAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                    lo: Double, hi: Double, accuracy: Int = 10000,
+                    lo: Double, hi: Double, sketchK: Int = 800,
                     perGroupBound: Long = 1000000L): DataFrame =
     winsorize(df, valueCol, groupCols, lo, hi,
-      approx = useApprox(df, groupCols, perGroupBound), accuracy = accuracy)
+      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK)
 
   /** [[madOutliers]] with the arm picked by [[useApprox]] — the same
     * size-driven dispatch as [[winsorizeAuto]] (and the policy behind
     * the q_a8_percentiles / _approx twin pair). */
   def madOutliersAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                      k: Double = 3.0, accuracy: Int = 10000,
+                      k: Double = 3.0, sketchK: Int = 800,
                       perGroupBound: Long = 1000000L): DataFrame =
     madOutliers(df, valueCol, groupCols, k,
-      approx = useApprox(df, groupCols, perGroupBound), accuracy = accuracy)
+      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK)
 
   /** Join `df` back to its per-group `bounds` table NULL-SAFELY on the
     * group keys: groupBy puts rows with a null key into their own
@@ -161,21 +201,27 @@ object Profile {
     * op (−, abs, ·k, >) is then IEEE-exact, so the outlier decision
     * itself carries no rounding haze.
     *
-    * `approx = true` swaps both medians for the Greenwald–Khanna
-    * sketch (`approx_percentile`, ±1/`accuracy` rank error) — the
-    * 100 TB arm, same dispatch as [[winsorize]]: the exact `median`
-    * buffers each group's values to select the middle (the round-12
-    * x100 probe reads 30.6/100 on it — sub-linear but the heaviest
-    * flat-output probe), while the sketch partial-aggregates map-side
-    * and shuffles fixed-size state per group. The exact arm stays the
-    * oracle ground truth; the fence decision still uses the same
-    * IEEE-exact ops on whichever bounds arm produced them. */
+    * `approx = true` swaps both medians for the KLL quantile sketch
+    * ([[graft.functions.KllSketchAgg]], rank error ~0.5% at `sketchK`
+    * = 800) — the 100 TB arm, same dispatch as [[winsorize]]: the
+    * exact `median` buffers each group's values to select the middle
+    * (the round-12 x100 probe reads 30.6/100 on it — sub-linear but
+    * the heaviest flat-output probe), while the sketch
+    * partial-aggregates map-side and shuffles fixed-size state per
+    * group. KLL replaced the GK `approx_percentile` arm in round 14:
+    * GK at band accuracy cost MORE per update than the exact arm's
+    * buffer-and-select (x100: 32.0 s sketch vs 25.8 s exact); KLL's
+    * O(1)-amortized update makes the sketch arm cheaper on time AND
+    * memory, which is what `useApprox` dispatches for. The exact arm
+    * stays the oracle ground truth; the fence decision still uses the
+    * same IEEE-exact ops on whichever bounds arm produced them. */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   k: Double = 3.0, approx: Boolean = false,
-                  accuracy: Int = 10000): DataFrame = {
+                  sketchK: Int = 800): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     def med(c: Column): Column =
-      if (approx) percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
+      if (approx) graft.functions.KllQuantileEstimate(
+        graft.functions.KllSketchAgg(c.cast("double"), sketchK), lit(0.5))
       else median(c)
     val medT = df.groupBy(groupCols.map(col): _*)
       .agg(med(col(valueCol)).as("_med"))
@@ -228,9 +274,6 @@ object Profile {
       round(dxy / sqrt(dxx * dyy), 6).as("corr_xy"): _*)
   }
 
-  /** Fixed-width histogram of a numeric column over [lo, hi): one
-    * hash aggregate on the bucket index (values outside the range
-    * clamp to the edge buckets). */
   /** Equi-depth (quantile) binning: assign each row the index of the
     * quantile interval its value falls in (`bins` intervals of ~equal
     * population — feature discretization, score banding, balanced
@@ -286,17 +329,28 @@ object Profile {
     * 100 TB pre-flight for a fact–fact join: know the output (and the
     * hottest key's contribution, the skew ceiling) before committing a
     * cluster to producing it. Returns one row: `join_rows`,
-    * `n_matching_keys`, `max_key_rows`. */
+    * `n_matching_keys`, `max_key_rows` — both products carried as
+    * DECIMAL(38,0): at the fact–fact scale this pre-flight exists for,
+    * a hot key with ~3·10⁹ rows per side puts nₐ·n_b past
+    * Long.MaxValue, which non-ANSI Long arithmetic would wrap
+    * SILENTLY into a bogus estimate. */
   def joinCardinality(left: DataFrame, leftKey: String,
                       right: DataFrame, rightKey: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
     val la = left.groupBy(col(leftKey).as("_k")).agg(count(lit(1)).as("_na"))
     val rb = right.groupBy(col(rightKey).as("_k")).agg(count(lit(1)).as("_nb"))
+    // (19,0) × (19,0) → decimal(38,0): exact for any pair of Long
+    // counts, and the decimal SUM stays exact at any key cardinality
+    val prod = col("_na").cast(dec) * col("_nb").cast(dec)
     la.join(rb, "_k")
-      .agg(sum(col("_na") * col("_nb")).as("join_rows"),
+      .agg(sum(prod).as("join_rows"),
         count(lit(1)).as("n_matching_keys"),
-        max(col("_na") * col("_nb")).as("max_key_rows"))
+        max(prod).as("max_key_rows"))
   }
 
+  /** Fixed-width histogram of a numeric column over [lo, hi): one
+    * hash aggregate on the bucket index (values outside the range
+    * clamp to the edge buckets). */
   def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
                 nBuckets: Int): DataFrame = {
     val w = (hi - lo) / nBuckets

@@ -123,6 +123,121 @@ object Sketches {
       count(lit(1)).as("n"),
       graft.functions.ThetaSketchAgg(col(ndCol), lgK).as("theta"))
 
+  /** Merge theta partials up to coarser `keyCols` — the sketch column
+    * stays a sketch (binary-mode [[graft.functions.ThetaSketchAgg]] is
+    * a set UNION), so merged state keeps supporting intersect/diff. */
+  def thetaMerge(partials: DataFrame, keyCols: Seq[String],
+                 lgK: Int = 12): DataFrame =
+    partials.groupBy(keyCols.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      graft.functions.ThetaSketchAgg(col("theta"), lgK).as("theta"))
+
+  /** Batch-vs-history NOVELTY: for each key, how many of the new
+    * batch's distinct `ndCol` values were never seen by the merged
+    * history state — the incremental-crawl churn question ("how many
+    * of today's ids are NEW"), answered per key from SKETCH rows alone
+    * (theta A-NOT-B of batch against history; the raw history corpus
+    * is never rescanned — the [[updateState]] read face for theta).
+    * `histPartials` is a [[thetaPartials]]-shaped table at any
+    * granularity ≥ `keyCols` (it is [[thetaMerge]]d down first). Keys
+    * with NO history rows report their whole batch as novel (left
+    * join + coalesce), so a brand-new key is novelty, not a dropped
+    * row. Estimates are exact while both sides stay under the
+    * sketch's nominal entry count. */
+  def thetaNovelty(histPartials: DataFrame, batch: DataFrame,
+                   keyCols: Seq[String], ndCol: String,
+                   lgK: Int = 12): DataFrame = {
+    import graft.functions.{ThetaDiffEstimate, ThetaEstimate}
+    val hist = thetaMerge(histPartials, keyCols)
+      .select(keyCols.map(col) :+ col("theta").as("_th"): _*)
+    thetaPartials(batch, keyCols, ndCol, lgK)
+      .select(keyCols.map(col) :+ col("n").as("n_batch") :+
+        col("theta").as("_tb"): _*)
+      .join(hist, keyCols, "left")
+      .select(keyCols.map(col) :+ col("n_batch") :+
+        round(ThetaEstimate(col("_tb"))).cast("long").as("batch_nd_est") :+
+        coalesce(round(ThetaEstimate(col("_th"))), lit(0.0)).cast("long")
+          .as("hist_nd_est") :+
+        coalesce(round(ThetaDiffEstimate(col("_tb"), col("_th"))),
+          round(ThetaEstimate(col("_tb")))).cast("long").as("novel_est"): _*)
+  }
+
+  /** ONE-pass combined state row — the production shape of the family:
+    * a maintained state table wants count + sum + extremes + distinct
+    * + quantiles (+ set-op-capable distinct) from a SINGLE reduction
+    * of the raw slice, not one scan per statistic. Emits [[aggState]]'s
+    * columns plus a KLL quantile sketch over `valCol` (`q_sketch`) and,
+    * when `withTheta`, a theta sketch over `ndCol` (`nd_theta`) whose
+    * merged states can still intersect/diff ([[distinctOverlap]],
+    * [[thetaNovelty]]). Output size ∝ |keys|, one shuffle. */
+  def aggStateFull(df: DataFrame, keyCols: Seq[String], valCol: String,
+                   ndCol: String, lgK: Int = 12, kllK: Int = 800,
+                   withTheta: Boolean = true): DataFrame = {
+    val base = Seq(
+      count(lit(1)).as("n"),
+      sum(col(valCol).cast(Dec)).as("sum_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"),
+      hll_sketch_agg(col(ndCol), lgK).as("nd_sketch"),
+      graft.functions.KllSketchAgg(col(valCol).cast("double"), kllK)
+        .as("q_sketch"))
+    val aggs = if (withTheta)
+      base :+ graft.functions.ThetaSketchAgg(col(ndCol), lgK).as("nd_theta")
+    else base
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge [[aggStateFull]] rows down to (possibly coarser) `keyCols`:
+    * counters add (decimal sum bit-identical under any merge tree),
+    * extremes lattice, every sketch unions via its binary merge mode.
+    * Associative and commutative like [[mergeStates]]. */
+  def mergeStatesFull(states: DataFrame, keyCols: Seq[String],
+                      lgK: Int = 12, kllK: Int = 800): DataFrame = {
+    val base = Seq(
+      sum(col("n")).as("n"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"),
+      hll_union_agg(col("nd_sketch")).as("nd_sketch"),
+      graft.functions.KllSketchAgg(col("q_sketch"), kllK).as("q_sketch"))
+    val aggs = if (states.columns.contains("nd_theta"))
+      base :+ graft.functions.ThetaSketchAgg(col("nd_theta"), lgK).as("nd_theta")
+    else base
+    states.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental maintenance of a FULL state table — the one-verb
+    * nightly fold, as [[updateState]] is for the HLL-only shape. */
+  def updateStateFull(state: DataFrame, batch: DataFrame,
+                      keyCols: Seq[String], valCol: String, ndCol: String,
+                      lgK: Int = 12, kllK: Int = 800): DataFrame =
+    mergeStatesFull(
+      state.unionByName(aggStateFull(batch, keyCols, valCol, ndCol, lgK,
+        kllK, withTheta = state.columns.contains("nd_theta"))),
+      keyCols, lgK, kllK)
+
+  /** Render a FULL state table: decimal sum to double, HLL to its
+    * distinct estimate, KLL to one `q<rank>` column per requested
+    * rank, theta (if present) to `nd_theta_est`. */
+  def readStateFull(state: DataFrame,
+                    ranks: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val withQ = ranks.foldLeft(
+      state
+        .withColumn("sum_v", col("sum_v").cast("double"))
+        .withColumn("nd_est",
+          round(hll_sketch_estimate(col("nd_sketch"))).cast("long"))) {
+      (df, r) =>
+        df.withColumn(s"q${(r * 100).round}",
+          graft.functions.KllQuantileEstimate(col("q_sketch"), lit(r)))
+    }
+    val withTheta =
+      if (state.columns.contains("nd_theta"))
+        withQ.withColumn("nd_theta_est",
+          round(graft.functions.ThetaEstimate(col("nd_theta"))).cast("long"))
+      else withQ
+    withTheta.drop("nd_sketch", "q_sketch", "nd_theta")
+  }
+
   /** Pairwise distinct-overlap estimates between every two slices of a
     * theta-partial table: |distinct(A) ∩ distinct(B)| per (a, b) pair
     * with a < b — audience overlap, crawl intersection, segment

@@ -250,10 +250,11 @@ object StreamingOps {
                          w: Int = 3, numHashes: Int = 16, bands: Int = 8,
                          threshold: Double = 0.5,
                          trigger: org.apache.spark.sql.streaming.Trigger =
-                           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+                           org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+                         maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit)(
+    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit, maintainEvery)(
       ledgerOf = b => Dedup.minhashLedgerOf(b, idCol, textCol, w, numHashes),
       dedup = (batch, ledger) => Dedup.applyMinhashIncremental(
         batch, idCol, textCol, ledger, w, numHashes, bands, threshold))
@@ -270,10 +271,11 @@ object StreamingOps {
                        ledgerDir: String, checkpointDir: String,
                        emit: DataFrame => Unit,
                        trigger: org.apache.spark.sql.streaming.Trigger =
-                         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+                         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+                       maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
-    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit)(
+    ledgerStream(docs, ledgerDir, checkpointDir, trigger, emit, maintainEvery)(
       ledgerOf = b => Dedup.ledgerOf(b, textCol),
       dedup = (batch, ledger) =>
         Dedup.applyExactIncremental(batch, idCol, textCol, ledger))
@@ -295,7 +297,8 @@ object StreamingOps {
   private def ledgerStream(docs: DataFrame, ledgerDir: String,
                            checkpointDir: String,
                            trigger: org.apache.spark.sql.streaming.Trigger,
-                           emit: DataFrame => Unit)(
+                           emit: DataFrame => Unit,
+                           maintainEvery: Int = 0)(
                            ledgerOf: DataFrame => DataFrame,
                            dedup: (DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -345,6 +348,18 @@ object StreamingOps {
         ledgerOf(kept)
           .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
         emit(kept)
+        // auto-maintenance (round 14): fold the closed per-batch dirs
+        // every `maintainEvery` batches so a long-lived stream's
+        // ledger read stays O(few dirs) WITHOUT an operator having to
+        // remember compactLedger. Placement AFTER emit: the data path
+        // never waits on maintenance, and a crash anywhere re-runs the
+        // batch into an idempotent compaction (tmp+rename). Safety:
+        // upToBatch = batchId − 1 only covers batches already
+        // committed by the checkpoint (foreachBatch re-runs at most
+        // the CURRENT uncommitted id), so a re-run of batch N still
+        // sees exactly the pre-N history in consolidated form.
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          compactLedger(s, ledgerDir, upToBatch = batchId - 1)
         ()
       }
       .start()
@@ -430,13 +445,21 @@ object StreamingOps {
     * ledger: a re-run of batch N ignores its own half-written
     * `state=N` dir and rebuilds it from `state=<N−1>` + the batch.
     * Old snapshots are time-travel; bound them with
-    * [[pruneStateSnapshots]]. Fails fast when a fresh checkpoint
-    * reuses an old state dir (same coherence guard as the ledger). */
+    * [[pruneStateSnapshots]], or set `maintainEvery` > 0 to have the
+    * stream prune itself every that-many batches (keepLastN = 2 — the
+    * minimum that keeps a re-runnable batch's predecessor, see the
+    * pruner's contract). Fails fast when a fresh checkpoint reuses an
+    * old state dir (same coherence guard as the ledger), INCLUDING
+    * the orphaned-snapshot case: batchId > 0 with its own `state=N`
+    * dir present but NO prior snapshot means history was lost (an
+    * over-eager prune or a mixed-up dir) — rebuilding state from the
+    * batch alone would silently discard everything accumulated. */
   def aggStateStream(rows: DataFrame, keyCols: Seq[String], valCol: String,
                      ndCol: String, stateDir: String, checkpointDir: String,
                      emit: DataFrame => Unit,
                      trigger: org.apache.spark.sql.streaming.Trigger =
-                       org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+                       org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+                     maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .outputMode("append")
@@ -461,6 +484,19 @@ object StreamingOps {
               "resetting the state dir — stateDir and checkpointDir must " +
               "be reset (or kept) together")
         val prior = snaps.filter(_ < batchId) // own dir = failed re-run
+        // orphaned-snapshot guard (r13 ADVICE): a re-run of batch N>0
+        // whose OWN snapshot survived while every predecessor is gone
+        // (a keepLastN=1-style prune raced a failed batch) must not
+        // quietly rebuild state from this batch alone — that discards
+        // all accumulated history. Fail fast; the operator restores a
+        // predecessor snapshot or resets state+checkpoint together.
+        if (batchId > 0 && prior.isEmpty && snaps.contains(batchId))
+          throw new IllegalStateException(
+            s"state dir $stateDir holds state=$batchId but no prior " +
+              s"snapshot: batch $batchId is re-running after its " +
+              "predecessors were pruned — history would be silently " +
+              "lost. Restore a prior snapshot or reset stateDir and " +
+              "checkpointDir together")
         val next =
           if (prior.isEmpty) Sketches.aggState(batch, keyCols, valCol, ndCol)
           else Sketches.updateState(
@@ -469,19 +505,32 @@ object StreamingOps {
         val staged = next.localCheckpoint() // consumed twice: write + emit
         staged.write.mode("overwrite").parquet(s"$stateDir/state=$batchId")
         emit(Sketches.readState(staged))
+        // auto-maintenance (round 14), after emit so the data path
+        // never waits: keepLastN = 2 keeps this snapshot AND its
+        // predecessor, so a re-run of the NEXT batch always finds
+        // prior state even mid-prune
+        if (maintainEvery > 0 && batchId % maintainEvery == 0)
+          pruneStateSnapshots(s, stateDir, keepLastN = 2)
         ()
       }
       .start()
 
   /** Drop all but the newest `keepLastN` state snapshots — the
     * maintenance pass bounding [[aggStateStream]]'s one-dir-per-batch
-    * time-travel history. Always safe while the stream runs: every
-    * batch reads only the latest snapshot strictly below its id, and a
-    * re-runnable batch's predecessor is the newest snapshot, which is
-    * always kept (keepLastN ≥ 1). Returns the number deleted. */
+    * time-travel history. Safe while the stream runs because
+    * keepLastN ≥ 2 is REQUIRED (r13 ADVICE): if batch N fails after
+    * writing its own `state=N` snapshot, keepLastN = 1 would keep only
+    * `state=N` — which N's re-run must ignore (prior = snaps < N), so
+    * the re-run would silently rebuild from the batch alone and drop
+    * all history. Keeping ≥ 2 guarantees a re-runnable batch's
+    * predecessor survives every prune; [[aggStateStream]] additionally
+    * fails fast on the orphaned-snapshot state should it ever arise.
+    * Returns the number deleted. */
   def pruneStateSnapshots(spark: SparkSession, stateDir: String,
                           keepLastN: Int = 2): Int = {
-    require(keepLastN >= 1, s"need keepLastN >= 1, got $keepLastN")
+    require(keepLastN >= 2,
+      s"need keepLastN >= 2 (a re-runnable batch's predecessor must " +
+        s"survive every prune), got $keepLastN")
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0

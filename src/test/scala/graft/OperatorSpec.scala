@@ -977,14 +977,14 @@ class OperatorSpec extends SparkSpec {
     assert(w(3L) === ((0L, 0.0)))          // null text: zero tokens, neutral weight
   }
 
-  test("Profile.madOutliers approx arm ≡ exact arm where the sketch is exact (n < accuracy)") {
-    // accuracy 10000 >> n: the GK sketch retains every value, so the
+  test("Profile.madOutliers approx arm ≡ exact arm where the sketch is exact (n < k)") {
+    // sketchK 800 >> n: the KLL sketch retains every value, so the
     // approx arm must reproduce the exact arm's fences and decisions
     // bit-for-bit on this data — the dispatch equivalence check (the
     // 100 TB arm diverges only by bounded sketch error at scale)
     val df = ((1 to 9).map(i => (Some("g"), i.toDouble)) :+ ((Some("g"), 100.0)) :+
       ((None: Option[String], 7.0))).toDF("grp", "x")
-    // GK at exact retention picks an actual value (no interpolation):
+    // KLL at exact retention picks an actual value (no interpolation):
     // med 5.0 vs exact 5.5 on the even group — decisions must still
     // agree (fence positions shift together), so compare decisions,
     // not the fence values

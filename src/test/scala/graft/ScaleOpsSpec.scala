@@ -405,15 +405,47 @@ class ScaleOpsSpec extends SparkSpec {
       Seq("l_returnflag"), k = 1.5))
     assert(viaAuto === viaExact)
     // and on the big side the wrappers really swap the arm: the plan
-    // carries the GK sketch aggregate, not the exact percentile
+    // carries the KLL sketch aggregate (the r14 port — GK's per-update
+    // constant made the sketch arm slower than exact), and builds the
+    // sketch ONCE (both winsorize bounds read the same agg output)
     val bigPlan = Profile.winsorizeAuto(x10, "l_extendedprice",
       Seq("l_returnflag"), lo = 0.05, hi = 0.95, perGroupBound = bound)
       .queryExecution.optimizedPlan.toString
-    assert(bigPlan.contains("percentile_approx"), bigPlan.take(1500))
+    assert(bigPlan.contains("kll_sketch_agg"), bigPlan.take(1500))
+    assert("kll_sketch_agg".r.findAllIn(bigPlan).size === 1, bigPlan.take(1500))
+    assert(!bigPlan.contains("percentile_approx"), bigPlan.take(1500))
     val smallPlan = Profile.winsorizeAuto(li, "l_extendedprice",
       Seq("l_returnflag"), lo = 0.05, hi = 0.95, perGroupBound = bound)
       .queryExecution.optimizedPlan.toString
-    assert(!smallPlan.contains("percentile_approx"), smallPlan.take(1500))
+    assert(!smallPlan.contains("kll_sketch_agg"), smallPlan.take(1500))
+  }
+
+  test("useApprox reads plan statistics before paying the probe job") {
+    import graft.operators.Profile
+    // a LIMIT carries rowCount in its plan stats even in size-only
+    // mode: the dispatch must decide from stats alone, with ZERO
+    // Spark jobs — at 100 TB an avoidable probe scan per dispatch
+    // call is a real cost (VERDICT r13 item 4)
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    // job-count snapshot via the public status tracker (the listener
+    // bus is private[spark]); ungrouped jobs cover everything here
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = jobs()
+    // rowCount = 10 <= bound: false for ANY grouping without a probe
+    // (even a single group cannot exceed the bound)
+    assert(!Profile.useApprox(li.limit(10), Nil, 1000L))
+    assert(!Profile.useApprox(li.limit(10), Seq("l_returnflag"), 1000L))
+    // rowCount above the bound with no group columns: true, still
+    // stats-only (one global group of rowCount rows)
+    // (range is a rowCount-bearing leaf; no renaming Project on top,
+    // which the size-only stats visitor would strip rowCount through)
+    assert(Profile.useApprox(spark.range(5000).toDF(), Nil, 1000L))
+    assert(jobs() === before, s"stats-bearing dispatch ran ${jobs() - before} jobs")
+    // stats-less input (parquet scan: size-only, no rowCount) still
+    // probes — the existing dispatch behavior, now the fallback
+    assert(!Profile.useApprox(li, Seq("l_returnflag"), 100000L))
+    assert(jobs() > before)
   }
 
   test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {

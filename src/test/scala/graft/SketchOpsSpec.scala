@@ -37,7 +37,16 @@ class SketchOpsSpec extends SparkSpec {
   test("joinCardinality predicts the inner-join size without executing it") {
     val left = Seq(1L, 1L, 2L, 3L).toDF("lk")
     val right = Seq(1L, 2L, 2L, 4L).toDF("rk")
-    val got = Profile.joinCardinality(left, "lk", right, "rk")
+    val card = Profile.joinCardinality(left, "lk", right, "rk")
+    // products carried as DECIMAL(38,0) (r13 ADVICE): Long arithmetic
+    // would wrap silently on a ~3e9 × 3e9 hot key — the exact scale
+    // this pre-flight exists for
+    assert(card.schema("join_rows").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(card.schema("max_key_rows").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val got = card.select(col("join_rows").cast("long"),
+        col("n_matching_keys"), col("max_key_rows").cast("long"))
       .as[(Long, Long, Long)].collect().head
     assert(got === ((4L, 2L, 2L))) // keys 1: 2·1, 2: 1·2 → 4 rows total
     assert(left.join(right, col("lk") === col("rk")).count() === got._1)
@@ -207,5 +216,118 @@ class SketchOpsSpec extends SparkSpec {
     val leaks = Sampling.splitContamination(perDoc, "doc_id", pairs)
       .as[(String, String, Long)].collect().toSeq
     assert(leaks === Seq(("val", "test", 1L)))
+  }
+
+  // ---- round 14: full combined state, theta merge/novelty ----
+
+  test("thetaMerge: binary-mode union over partials equals the one-shot sketch (exact regime)") {
+    // slices at (key, day) granularity merged to key — the rollup that
+    // needs ThetaSketchAgg's r14 BINARY merge mode; all sets under
+    // 4096 entries, so every estimate is exact
+    val df = (0 until 3000).map(i => (s"k${i % 2}", i % 5, (i % 1100).toLong))
+      .toDF("key", "day", "u")
+    val merged = Sketches.thetaMerge(
+      Sketches.thetaPartials(df, Seq("key", "day"), "u"), Seq("key"))
+    val got = merged.select(col("key"), col("n"),
+        round(graft.functions.ThetaEstimate(col("theta"))).cast("long").as("nd"))
+      .orderBy("key").as[(String, Long, Long)].collect()
+    val exact = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("nd"))
+      .orderBy("key").as[(String, Long, Long)].collect()
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("ThetaSketchAgg accepts float and decimal keys like KllSketchAgg (r13 ADVICE)") {
+    import graft.functions.{ThetaEstimate, ThetaSketchAgg}
+    val f = (1 to 100).map(i => (i % 37).toFloat).toDF("v")
+      .agg(round(ThetaEstimate(ThetaSketchAgg(col("v"), 12))).cast("long"))
+      .as[Long].collect().head
+    assert(f === 37L)
+    val d = (1 to 100).map(i => BigDecimal(i % 23)).toDF("v")
+      .agg(round(ThetaEstimate(ThetaSketchAgg(col("v"), 12))).cast("long"))
+      .as[Long].collect().head
+    assert(d === 23L)
+  }
+
+  test("sketch agg prettyName survives an unresolved child (r13 ADVICE)") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    assert(graft.functions.KllSketchAgg(UnresolvedAttribute("x"), 800)
+      .prettyName === "kll_sketch_agg")
+    assert(graft.functions.ThetaSketchAgg(UnresolvedAttribute("x"), 12)
+      .prettyName === "theta_sketch_agg")
+  }
+
+  test("aggStateFull: one-pass state merges associatively; exact fields bit-identical") {
+    val rows = (0 until 1200).map(i =>
+      (i.toLong, s"p${i % 3}", (i % 101).toDouble, i.toLong % 300))
+    val df = rows.toDF("id", "key", "v", "u")
+    def exactCols(st: org.apache.spark.sql.DataFrame) =
+      Sketches.readStateFull(st, Seq(0.5, 0.9)).orderBy("key")
+        .select("key", "n", "sum_v", "min_v", "max_v")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val oneShot = Sketches.aggStateFull(df, Seq("key"), "v", "u")
+    // two different merge trees over three unaligned slices
+    val s1 = Sketches.aggStateFull(df.filter(col("id") < 150), Seq("key"), "v", "u")
+    val s2 = Sketches.aggStateFull(df.filter(col("id") >= 150 && col("id") < 801), Seq("key"), "v", "u")
+    val s3 = Sketches.aggStateFull(df.filter(col("id") >= 801), Seq("key"), "v", "u")
+    val treeA = Sketches.mergeStatesFull(
+      s3.unionByName(Sketches.mergeStatesFull(s1.unionByName(s2), Seq("key"))),
+      Seq("key"))
+    val treeB = Sketches.mergeStatesFull(
+      s1.unionByName(Sketches.mergeStatesFull(s2.unionByName(s3), Seq("key"))),
+      Seq("key"))
+    assert(exactCols(treeA) === exactCols(oneShot))
+    assert(exactCols(treeB) === exactCols(oneShot))
+    // sketch estimates: all sets/multisets under sketch capacity here,
+    // so HLL/theta are within the small-range bound and KLL quantiles
+    // are exact order statistics regardless of merge tree
+    val exact = df.groupBy("key").agg(
+        countDistinct(col("u")).as("nd"),
+        expr("percentile(v, array(0.49, 0.51, 0.89, 0.91))").as("eb"))
+      .orderBy("key").as[(String, Long, Seq[Double])].collect()
+    for (tree <- Seq(treeA, treeB, oneShot)) {
+      val est = Sketches.readStateFull(tree, Seq(0.5, 0.9)).orderBy("key")
+        .select("key", "nd_est", "nd_theta_est", "q50", "q90")
+        .as[(String, Long, Long, Double, Double)].collect()
+      est.zip(exact).foreach { case ((k, hll, th, q50, q90), (ek, nd, eb)) =>
+        assert(k === ek)
+        assert(math.abs(hll - nd) <= nd * 0.02 + 16, s"$k hll $hll vs $nd")
+        assert(th === nd, s"$k theta $th vs $nd (exact regime)")
+        assert(q50 >= eb(0) && q50 <= eb(1), s"$k q50 $q50 outside $eb")
+        assert(q90 >= eb(2) && q90 <= eb(3), s"$k q90 $q90 outside $eb")
+      }
+    }
+    // updateStateFull ≡ from-scratch on the exact fields
+    val upd = Sketches.updateStateFull(
+      Sketches.aggStateFull(df.filter(col("id") < 700), Seq("key"), "v", "u"),
+      df.filter(col("id") >= 700), Seq("key"), "v", "u")
+    assert(exactCols(upd) === exactCols(oneShot))
+    // withTheta = false drops the theta column end-to-end
+    val noTheta = Sketches.mergeStatesFull(
+      Sketches.aggStateFull(df, Seq("key"), "v", "u", withTheta = false),
+      Seq("key"))
+    assert(!noTheta.columns.contains("nd_theta"))
+    assert(!Sketches.readStateFull(noTheta).columns.contains("nd_theta_est"))
+  }
+
+  test("thetaNovelty: batch-vs-history new-id counts, no-history keys fully novel") {
+    // history: key a saw 0..799, key b saw 0..299 (at two 'day' slices
+    // each, so the history MERGE is exercised); batch: a sees 600..999
+    // (novel 800..999 = 200), b sees 0..99 (novel 0), c is brand new
+    val hist = ((0 until 800).map(u => ("a", u % 2, u.toLong)) ++
+      (0 until 300).map(u => ("b", u % 2, u.toLong))).toDF("key", "day", "u")
+    val batch = ((600 until 1000).map(u => ("a", u.toLong)) ++
+      (0 until 100).map(u => ("b", u.toLong)) ++
+      (0 until 50).map(u => ("c", u.toLong))).toDF("key", "u")
+    val got = Sketches.thetaNovelty(
+      Sketches.thetaPartials(hist, Seq("key", "day"), "u"),
+      batch, Seq("key"), "u")
+      .orderBy("key")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // exact regime (all sets < 4096): estimates are exact counts
+    assert(got.toSeq === Seq(
+      ("a", 400L, 400L, 800L, 200L),
+      ("b", 100L, 100L, 300L, 0L),
+      ("c", 50L, 50L, 0L, 50L)))
   }
 }

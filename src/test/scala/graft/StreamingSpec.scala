@@ -408,26 +408,149 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Long, Double, Double, Double, Long)].collect())
     val b1 = Seq(("a", 1.5, 10L), ("a", 2.5, 11L), ("b", 9.0, 20L))
     val b2 = Seq(("a", 4.0, 10L), ("b", -1.0, 21L), ("c", 0.5, 30L))
+    val b3 = Seq(("c", 8.0, 31L))
     in.addData(b1: _*); q.processAllAvailable()
     in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
     q.stop()
     val expected = Sketches.readState(
-      Sketches.aggState((b1 ++ b2).toDF("key", "v", "u"), Seq("key"), "v", "u"))
+      Sketches.aggState((b1 ++ b2 ++ b3).toDF("key", "v", "u"), Seq("key"), "v", "u"))
       .select("key", "n", "sum_v", "min_v", "max_v", "nd_est")
       .as[(String, Long, Double, Double, Double, Long)].collect()
     assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
     // tiny exact distincts: the HLL estimate is exact at this scale
     assert(last.map(_._1).toSet === Set("a", "b", "c"))
     assert(last.find(_._1 == "a").get._6 === 2L)
-    // one snapshot dir per micro-batch; prune keeps only the newest
+    // one snapshot dir per micro-batch. keepLastN = 1 is BANNED (r13
+    // ADVICE: a failed batch whose own snapshot survived a 1-deep
+    // prune would rebuild state from itself alone); keepLastN = 2
+    // keeps the newest snapshot AND its predecessor
     val root = new java.io.File(stateDir)
-    assert(root.listFiles().count(_.getName.startsWith("state=")) === 2)
-    assert(StreamingOps.pruneStateSnapshots(spark, stateDir, keepLastN = 1) === 1)
-    assert(root.listFiles().count(_.getName.startsWith("state=")) === 1)
-    // the surviving snapshot is the latest and still renders correctly
-    val rendered = Sketches.readState(spark.read.parquet(s"$stateDir/state=1"))
+    assert(root.listFiles().count(_.getName.startsWith("state=")) === 3)
+    intercept[IllegalArgumentException] {
+      StreamingOps.pruneStateSnapshots(spark, stateDir, keepLastN = 1)
+    }
+    assert(StreamingOps.pruneStateSnapshots(spark, stateDir, keepLastN = 2) === 1)
+    assert(root.listFiles().filter(_.getName.startsWith("state="))
+      .map(_.getName).sorted.toSeq === Seq("state=1", "state=2"))
+    // the surviving latest snapshot still renders correctly
+    val rendered = Sketches.readState(spark.read.parquet(s"$stateDir/state=2"))
       .select("key", "n").as[(String, Long)].collect().toMap
-    assert(rendered === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(rendered === Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("dedupExactStream auto-compaction: dirs stay bounded, results equal the unmaintained run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // five micro-batches with cross-batch dups, run twice: maintained
+    // (maintainEvery = 2 → compaction fires inside foreachBatch at
+    // batches 2 and 4) and unmaintained — kept sets must be identical
+    // (r13 VERDICT item 3: maintenance must be policy, not memory)
+    val batches = Seq(
+      Seq((1L, "alpha"), (2L, "beta")),
+      Seq((3L, "alpha"), (4L, "gamma")),          // 3 dups history
+      Seq((5L, "delta")),
+      Seq((6L, "gamma"), (7L, "epsilon")),        // 6 dups history
+      Seq((8L, "zeta"), (9L, "beta")))            // 9 dups history
+    def run(maintainEvery: Int, tag: String): (Set[Long], Seq[String]) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_autoc_$tag")
+      val ledgerDir = tmp.resolve("ledger").toString
+      val kept = scala.collection.mutable.ArrayBuffer[Long]()
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupExactStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        ledgerDir, tmp.resolve("ckpt").toString,
+        emit = b => kept.synchronized {
+          kept ++= b.select("doc_id").as[Long].collect()
+        },
+        maintainEvery = maintainEvery)
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val dirs = new java.io.File(ledgerDir).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).sorted.toSeq
+      (kept.toSet, dirs)
+    }
+    val (keptM, dirsM) = run(2, "on")
+    val (keptU, dirsU) = run(0, "off")
+    assert(keptM === keptU)
+    assert(keptM === Set(1L, 2L, 4L, 5L, 7L, 8L))
+    // unmaintained: one dir per batch; maintained: batch 4's pass
+    // folded everything ≤ 3 into one consolidated dir + batch=4
+    assert(dirsU === Seq("batch=0", "batch=1", "batch=2", "batch=3", "batch=4"))
+    assert(dirsM === Seq("batch=0-3-g2", "batch=4"), dirsM.mkString(","))
+  }
+
+  test("aggStateStream auto-prune: snapshots stay bounded, state equals batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autoprune_")
+    val stateDir = tmp.resolve("state").toString
+    @volatile var last: Array[(String, Long, Double)] = Array.empty
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString,
+      emit = b => last = b.select("key", "n", "sum_v")
+        .as[(String, Long, Double)].collect(),
+      maintainEvery = 2)
+    val all = (0 until 5).map(i =>
+      Seq((s"k${i % 2}", i + 0.5, i.toLong), ("k0", 2.0 * i, 100L + i)))
+    all.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // prune fired at batches 2 and 4 with keepLastN = 2: exactly
+    // state=3 and state=4 survive five batches
+    val snaps = new java.io.File(stateDir).listFiles
+      .filter(_.getName.startsWith("state=")).map(_.getName).sorted.toSeq
+    assert(snaps === Seq("state=3", "state=4"), snaps.mkString(","))
+    // and the maintained state still equals the from-scratch aggregate
+    val expected = Sketches.readState(
+      Sketches.aggState(all.flatten.toDF("key", "v", "u"), Seq("key"), "v", "u"))
+      .select("key", "n", "sum_v").as[(String, Long, Double)].collect()
+    assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
+  test("aggStateStream fails fast on an orphaned own-snapshot (history lost to an over-prune)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orphan_")
+    val stateDir = tmp.resolve("state").toString
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData(("a", 1.0, 1L)); q.processAllAvailable()
+    in.addData(("a", 2.0, 2L)); q.processAllAvailable()
+    q.stop()
+    // simulate the r13 ADVICE scenario: batch 2 wrote state=2 then
+    // failed before committing, and every predecessor was pruned away
+    // — the re-run of batch 2 must NOT rebuild state from itself alone
+    val root = new java.io.File(stateDir)
+    assert(new java.io.File(root, "state=0").listFiles != null)
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(delete)); f.delete(); ()
+    }
+    delete(new java.io.File(root, "state=0"))
+    assert(new java.io.File(root, "state=1")
+      .renameTo(new java.io.File(root, "state=2")))
+    // restart the SAME source against the SAME checkpoint: batches 0-1
+    // are committed, so the next micro-batch is id 2 — whose own
+    // state=2 dir exists with no predecessor
+    val q2 = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData(("b", 3.0, 3L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("no prior")), messages(e).mkString(" | "))
   }
 
   test("aggStateStream fails fast when a fresh checkpoint reuses an old state dir") {
