@@ -284,19 +284,26 @@ object Profile {
     * Boundaries come from one aggregation (`bins`−1 interpolated
     * percentiles), broadcast back over the corpus as a literal array —
     * the stream assigns bins with a fold over that array, no
-    * per-row join or window. `approx = true` is the 100 TB arm
-    * (GK-sketch percentiles — map-side partial merge instead of a
-    * per-group value buffer), same output shape, boundaries within the
-    * sketch's rank error. Note for oracle parity: boundary COMPARISONS
+    * per-row join or window. `approx = true` is the 100 TB arm: ALL
+    * `bins`−1 boundaries read from ONE KLL sketch (map-side partial
+    * merge instead of a per-group value buffer — same r14 port as
+    * [[madOutliers]]/[[winsorize]], same rank-error contract), same
+    * output shape. Note for oracle parity: boundary COMPARISONS
     * (v > bᵢ) are only engine-exact when interpolated boundaries are
     * (integer-valued columns — the q_a2_median argument). */
   def equidepth(df: DataFrame, valueCol: String, bins: Int,
-                approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+                approx: Boolean = false, sketchK: Int = 800): DataFrame = {
     require(bins >= 2, s"need bins >= 2, got $bins")
     val qs = (1 until bins).map(i => i.toDouble / bins).mkString(", ")
-    val bounds = df.agg(
-      (if (approx) expr(s"approx_percentile($valueCol, array($qs), $accuracy)")
-       else expr(s"percentile($valueCol, array($qs))")).as("_bs"))
+    val bounds =
+      if (approx)
+        df.agg(graft.functions.KllSketchAgg(
+            col(valueCol).cast("double"), sketchK).as("_sk"))
+          .select(array((1 until bins).map(i =>
+            graft.functions.KllQuantileEstimate(
+              col("_sk"), lit(i.toDouble / bins))): _*).as("_bs"))
+      else
+        df.agg(expr(s"percentile($valueCol, array($qs))").as("_bs"))
     df.crossJoin(broadcast(bounds))
       .withColumn("bin", aggregate(col("_bs"), lit(0),
         (acc, b) => acc + when(col(valueCol) > b, 1).otherwise(0)))

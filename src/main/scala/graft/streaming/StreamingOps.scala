@@ -459,7 +459,8 @@ object StreamingOps {
                      emit: DataFrame => Unit,
                      trigger: org.apache.spark.sql.streaming.Trigger =
                        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-                     maintainEvery: Int = 0)
+                     maintainEvery: Int = 0,
+                     fullState: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .outputMode("append")
@@ -497,14 +498,23 @@ object StreamingOps {
               "predecessors were pruned — history would be silently " +
               "lost. Restore a prior snapshot or reset stateDir and " +
               "checkpointDir together")
-        val next =
-          if (prior.isEmpty) Sketches.aggState(batch, keyCols, valCol, ndCol)
-          else Sketches.updateState(
+        // fullState: the r14 combined row (count/sum/extremes + HLL +
+        // KLL + theta) instead of the HLL-only state — same snapshot
+        // lifecycle, one reduction per batch either way
+        val next = (prior.isEmpty, fullState) match {
+          case (true, false)  => Sketches.aggState(batch, keyCols, valCol, ndCol)
+          case (true, true)   => Sketches.aggStateFull(batch, keyCols, valCol, ndCol)
+          case (false, false) => Sketches.updateState(
             s.read.parquet(s"$stateDir/state=${prior.max}"),
             batch, keyCols, valCol, ndCol)
+          case (false, true)  => Sketches.updateStateFull(
+            s.read.parquet(s"$stateDir/state=${prior.max}"),
+            batch, keyCols, valCol, ndCol)
+        }
         val staged = next.localCheckpoint() // consumed twice: write + emit
         staged.write.mode("overwrite").parquet(s"$stateDir/state=$batchId")
-        emit(Sketches.readState(staged))
+        emit(if (fullState) Sketches.readStateFull(staged)
+             else Sketches.readState(staged))
         // auto-maintenance (round 14), after emit so the data path
         // never waits: keepLastN = 2 keeps this snapshot AND its
         // predecessor, so a re-run of the NEXT batch always finds

@@ -448,6 +448,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(jobs() > before)
   }
 
+  test("useApprox: ANALYZEd column stats drive the grouped decision with no probe job") {
+    import graft.operators.Profile
+    // catalog row + column stats (the CBO path a production warehouse
+    // has): rows / distinct-group product decides the grouped case
+    // from the plan alone — the attributeStats branch of the r14
+    // stats-first dispatch
+    // a leftover warehouse dir from a previous JVM is not in this
+    // session's catalog, and CTAS refuses to adopt it — clear both
+    spark.sql("DROP TABLE IF EXISTS ua_lineitem")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "ua_lineitem"))
+    Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_returnflag", "l_quantity")
+      .write.mode("overwrite").saveAsTable("ua_lineitem")
+    spark.sql("ANALYZE TABLE ua_lineitem COMPUTE STATISTICS FOR COLUMNS l_returnflag")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val t = spark.table("ua_lineitem")
+      val n = t.count() // ~60k rows, 3 flags → ~20k rows/group
+      def jobs(): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val before = jobs()
+      assert(Profile.useApprox(t, Seq("l_returnflag"), n / 3 / 10))
+      assert(!Profile.useApprox(t, Seq("l_returnflag"), n))
+      assert(jobs() === before,
+        s"stats-bearing grouped dispatch ran ${jobs() - before} jobs")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {
     import spark.implicits._
     import graft.functions.TopKSketch

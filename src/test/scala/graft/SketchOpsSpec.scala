@@ -20,7 +20,9 @@ class SketchOpsSpec extends SparkSpec {
       .as[(Int, Long, Double, Double)].collect()
     assert(got.toSeq === Seq((0, 2L, 1.0, 2.0), (1, 2L, 3.0, 4.0),
       (2, 2L, 5.0, 6.0), (3, 2L, 7.0, 8.0)))
-    // at a size far under the sketch accuracy the GK arm is exact too
+    // at a size far under k the KLL arm retains every value: its
+    // order-statistic boundaries (2, 4, 6) differ from the exact
+    // interpolated ones (2.75, 4.5, 6.25) but induce the same bins
     val approx = Profile.equidepth(df, "v", bins = 4, approx = true)
       .orderBy("bin").as[(Int, Long, Double, Double)].collect()
     assert(approx.toSeq === got.toSeq)

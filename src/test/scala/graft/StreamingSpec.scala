@@ -513,6 +513,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
   }
 
+  test("aggStateStream fullState: streaming combined state equals the batch aggStateFull") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fullstate_")
+    @volatile var last: Array[(String, Long, Double, Long, Long, Double, Double)] = Array.empty
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      tmp.resolve("state").toString, tmp.resolve("ckpt").toString,
+      emit = b => last = b
+        .select("key", "n", "sum_v", "nd_est", "nd_theta_est", "q50", "q90")
+        .as[(String, Long, Double, Long, Long, Double, Double)].collect(),
+      fullState = true)
+    val b1 = (0 until 60).map(i => (s"k${i % 2}", i.toDouble, i.toLong % 17))
+    val b2 = (60 until 100).map(i => (s"k${i % 2}", i.toDouble, i.toLong % 29))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val expected = Sketches.readStateFull(
+      Sketches.aggStateFull((b1 ++ b2).toDF("key", "v", "u"), Seq("key"), "v", "u"))
+      .select("key", "n", "sum_v", "nd_est", "nd_theta_est", "q50", "q90")
+      .as[(String, Long, Double, Long, Long, Double, Double)].collect()
+    // everything is in the sketches' exact regimes at this size, so
+    // even the estimates must agree with the one-shot batch aggregate
+    assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
   test("aggStateStream fails fast on an orphaned own-snapshot (history lost to an over-prune)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
