@@ -441,7 +441,10 @@ object SparkEntry {
     // sum, min/max, HLL distinct sketch); the new slice folds in via
     // state merge, history never rescanned. The decimal sum makes the
     // merged total bit-identical to the from-scratch aggregate the
-    // oracle computes; the sketch estimate rides the bound contract.
+    // oracle computes; the sketch estimate rides the bound contract:
+    // ±5% + 16 ≈ 3·rsd at the default lgK=12 (rsd ≈ 1.6%) — a 2% band
+    // is only ~1.2σ there and flaked on sf0.1's 13k-distinct slices
+    // (q_hll_rollup keeps 2% because it builds at lgK=14, rsd ≈ 0.8%).
     "q_agg_incremental" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val cut = lit("1997-01-01").cast("timestamp")
@@ -456,7 +459,7 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("n"), col("sum_v"),
           col("min_v"), col("max_v"), col("nd_exact"),
           (abs(col("nd_est") - col("nd_exact")) <=
-            col("nd_exact") * 0.02 + 16).as("nd_ok"))
+            col("nd_exact") * 0.05 + 16).as("nd_ok"))
         .orderBy("o_orderpriority")
     }),
 
@@ -479,8 +482,9 @@ object SparkEntry {
       Sketches.readStateFull(merged, Seq(0.5, 0.9)).join(ex, "o_orderpriority")
         .select(col("o_orderpriority"), col("n"), col("sum_v"),
           col("min_v"), col("max_v"), col("nd_exact"),
+          // ±5% + 16 ≈ 3·rsd at lgK=12 — see the q_agg_incremental note
           (abs(col("nd_est") - col("nd_exact")) <=
-            col("nd_exact") * 0.02 + 16).as("nd_ok"),
+            col("nd_exact") * 0.05 + 16).as("nd_ok"),
           (col("q50") >= col("eb")(0) && col("q50") <= col("eb")(1)).as("med_ok"),
           (col("q90") >= col("eb")(2) && col("q90") <= col("eb")(3)).as("p90_ok"),
           (abs(col("nd_theta_est") - col("nd_exact")) <=
