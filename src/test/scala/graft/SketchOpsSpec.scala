@@ -312,6 +312,21 @@ class SketchOpsSpec extends SparkSpec {
     assert(!Sketches.readStateFull(noTheta).columns.contains("nd_theta_est"))
   }
 
+  test("equidepth KLL arm past exact retention: boundaries inside rank bands, population balanced") {
+    // 40k values >> k=800: the sketch is in its estimation regime —
+    // every bin must hold its share of rows within the sketch's rank
+    // error (±1% of N per boundary → ±2% per bin, doubled for slack)
+    val n = 40000
+    val df = (1 to n).map(_.toDouble).toDF("v")
+    val got = Profile.equidepth(df, "v", bins = 4, approx = true)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(got.map(_._2).sum === n.toLong)
+    got.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 4) <= n * 0.04, s"bin $b holds $cnt of $n")
+    }
+  }
+
   test("thetaNovelty: batch-vs-history new-id counts, no-history keys fully novel") {
     // history: key a saw 0..799, key b saw 0..299 (at two 'day' slices
     // each, so the history MERGE is exercised); batch: a sees 600..999

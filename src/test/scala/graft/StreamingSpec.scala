@@ -542,6 +542,38 @@ class StreamingSpec extends SparkSpec {
     assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
   }
 
+  test("aggStateStream fullState composes with auto-prune: bounded snapshots, exact state intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    // the two r14 features together: combined state rows under the
+    // every-N-batches retention policy — prune must never break the
+    // incremental updateStateFull chain
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fullprune_")
+    val stateDir = tmp.resolve("state").toString
+    @volatile var last: Array[(String, Long, Double, Double)] = Array.empty
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString,
+      emit = b => last = b.select("key", "n", "sum_v", "q50")
+        .as[(String, Long, Double, Double)].collect(),
+      maintainEvery = 2, fullState = true)
+    val all = (0 until 5).map(i =>
+      Seq((s"k${i % 2}", i + 0.25, i.toLong), ("k1", 3.0 * i, 50L + i)))
+    all.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val snaps = new java.io.File(stateDir).listFiles
+      .filter(_.getName.startsWith("state=")).map(_.getName).sorted.toSeq
+    assert(snaps === Seq("state=3", "state=4"), snaps.mkString(","))
+    val expected = Sketches.readStateFull(
+      Sketches.aggStateFull(all.flatten.toDF("key", "v", "u"), Seq("key"), "v", "u"))
+      .select("key", "n", "sum_v", "q50")
+      .as[(String, Long, Double, Double)].collect()
+    assert(last.sortBy(_._1).toSeq === expected.sortBy(_._1).toSeq)
+  }
+
   test("aggStateStream fails fast on an orphaned own-snapshot (history lost to an over-prune)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
