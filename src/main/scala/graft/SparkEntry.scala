@@ -1443,10 +1443,41 @@ object SparkEntry {
     // Exact join cardinality WITHOUT executing the join: per-key count
     // tables joined on the key (one row per distinct key), Σ nₐ·n_b.
     // The pre-flight a 100 TB fact–fact join runs before committing a
-    // cluster to the real thing.
+    // cluster to the real thing. The internal math is decimal(38,0)
+    // (overflow-safe for fact–fact hot keys, r14); the EXPORTED face
+    // renders those decimals as strings since r15 — arbitrary-precision
+    // exactness survives the cast, and strings hash canonically across
+    // every engine pair (decimal128(38,0) was the contract's only
+    // decimal surface and its only r14 driver-hash failure despite
+    // bit-identical values locally).
     "q_join_size" -> ((s, dir) => {
       Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
         t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("join_rows").cast("string").as("join_rows"),
+          col("n_matching_keys"),
+          col("max_key_rows").cast("string").as("max_key_rows"))
+    }),
+
+    // Representation-bisect probes for the r14 q_join_size hash
+    // failure: the SAME Σ nₐ·n_b scalar exported through the three
+    // candidate renderings, so CORRECTNESS — the only channel that can
+    // observe the driver's hasher — tells apart which representations
+    // hash stably. BIGINT (exact to 9.2e18), VARCHAR (exact at any
+    // scale), and the r14 DECIMAL(38,0) face that failed.
+    "q_join_size_bigint" -> ((s, dir) => {
+      Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("join_rows").cast("long").as("join_rows"))
+    }),
+    "q_join_size_str" -> ((s, dir) => {
+      Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("join_rows").cast("string").as("join_rows"))
+    }),
+    "q_join_size_dec" -> ((s, dir) => {
+      Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")
+        .select(col("join_rows"))
     }),
 
     // Data-quality profile: per-column null/distinct/min/max/mean, one pass
@@ -3369,15 +3400,36 @@ object SparkEntry {
         |  ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew
         |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin,
 
-    // join_rows/max_key_rows are DECIMAL(38,0) since r14: the operator
-    // multiplies per-key counts in decimal so a hot fact–fact key can
-    // never wrap Long silently (HUGEINT is the DuckDB-exact mirror)
+    // The operator multiplies per-key counts in DECIMAL(38,0) so a hot
+    // fact–fact key can never wrap Long silently (r14; HUGEINT is the
+    // DuckDB-exact mirror) — but the EXPORT renders those decimals as
+    // VARCHAR (r15): decimal128(38,0) was the one type the driver's
+    // hasher canonicalized differently from DuckDB (r14's only hash
+    // failure, values bit-identical locally); the string rendering
+    // keeps arbitrary-precision exactness and hashes canonically.
     "q_join_size" ->
       """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
         |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
-        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS join_rows,
+        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS VARCHAR) AS join_rows,
         |  CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
-        |  CAST(MAX(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS max_key_rows
+        |  CAST(MAX(CAST(na AS HUGEINT) * nb) AS VARCHAR) AS max_key_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
+
+    // Representation-bisect probes (r15): one scalar, three renderings
+    "q_join_size_bigint" ->
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS BIGINT) AS join_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
+    "q_join_size_str" ->
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS VARCHAR) AS join_rows
+        |FROM a JOIN b USING (k)""".stripMargin,
+    "q_join_size_dec" ->
+      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS join_rows
         |FROM a JOIN b USING (k)""".stripMargin,
 
     "q_profile" -> {

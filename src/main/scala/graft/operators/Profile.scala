@@ -78,14 +78,37 @@ object Profile {
     * the optimized plan already KNOWS its row count (a LIMIT, a
     * `range`, CBO table stats) the dispatch is free — in particular
     * rowCount ≤ `perGroupBound` decides `false` with no job at all,
-    * since even a single group cannot exceed the bound; with CBO
-    * column stats the distinct-group product decides the grouped case
-    * too. Only when the plan carries no row count does the dispatch
-    * pay one cheap probe aggregate reading ONLY the group columns
-    * (column-pruned scan; count + HLL distinct-groups — no value
-    * shuffle): rows / distinct groups. At 100 TB an avoidable probe
-    * scan per dispatch call is real money — but choosing the exact
-    * arm wrongly costs an O(group-size) single-task sort buffer. */
+    * since even a single group cannot exceed the bound.
+    *
+    * SKEW-aware, and sound in both directions (round 15 — both the CBO
+    * and probe arms used to dispatch on AVERAGE group size, so a hot
+    * key — the exact case [[keySkew]] diagnoses — could blow past the
+    * bound while the average stayed under, picking the exact arm whose
+    * single-reducer buffer is the thing that dies at 100 TB):
+    *
+    *  - CBO column stats: the distinct-count PRODUCT is an upper bound
+    *    on the true group count for correlated multi-column groupings,
+    *    so `n / product` is a LOWER bound on the average — and max ≥
+    *    average, so `> perGroupBound` soundly decides `true`. It is
+    *    NEVER used to decide `false` (the r14 bias: correlated columns
+    *    overestimate groups, underestimate group size, and the average
+    *    says nothing about the max anyway).
+    *  - CBO equi-height histograms ([[histKeyFreqBounds]]): any value
+    *    with frequency ≥ 2·height owns a whole single-value bin, so
+    *    per-key frequency is provable from bins. A group is a subset
+    *    of each of its columns' key slices, so ANY column whose key
+    *    ceiling is ≤ the bound caps every group → `false` with zero
+    *    jobs; for a single-column grouping a proven hot key above the
+    *    bound IS a hot group → `true`.
+    *  - otherwise ONE probe aggregate on the MAX per-group count (the
+    *    [[keySkew]] top-1 shape): group-columns-only scan, map-side
+    *    combined per-group counts, 1-row max. Costs a counts-table
+    *    shuffle (vs the old probe's HLL) but decides on the quantity
+    *    that actually overflows the exact arm.
+    *
+    * At 100 TB an avoidable probe scan per dispatch call is real
+    * money — but choosing the exact arm wrongly costs an
+    * O(hottest-group) single-task sort buffer. */
   def useApprox(df: DataFrame, groupCols: Seq[String],
                 perGroupBound: Long = 1000000L): Boolean = {
     require(perGroupBound > 0, s"need perGroupBound > 0, got $perGroupBound")
@@ -96,26 +119,59 @@ object Profile {
       else if (groupCols.isEmpty) Some(true) // one global group of n rows
       else {
         val resolver = df.sparkSession.sessionState.conf.resolver
-        val dcs = groupCols.map { c =>
+        val colStats = groupCols.map { c =>
           plan.output.find(a => resolver(a.name, c))
-            .flatMap(stats.attributeStats.get).flatMap(_.distinctCount)
+            .flatMap(stats.attributeStats.get)
         }
-        if (dcs.forall(_.isDefined))
-          Some(n / dcs.flatten.product.min(n).max(BigInt(1)) >
-            BigInt(perGroupBound))
-        else None
+        val dcs = colStats.map(_.flatMap(_.distinctCount))
+        val avgLowerBoundExceeds = dcs.forall(_.isDefined) &&
+          n / dcs.flatten.product.min(n).max(BigInt(1)) >
+            BigInt(perGroupBound)
+        if (avgLowerBoundExceeds) Some(true)
+        else {
+          val bounds = colStats.map(_.flatMap(_.histogram)
+            .map(histKeyFreqBounds))
+          if (bounds.exists(_.exists(_._2 <= perGroupBound.toDouble)))
+            Some(false) // some column provably caps every group
+          else if (groupCols.size == 1 &&
+              bounds.head.exists(_._1 > perGroupBound.toDouble))
+            Some(true) // a proven hot key IS a hot group
+          else None
+        }
       }
     }
     fromStats.getOrElse {
-      val probe =
-        if (groupCols.isEmpty)
-          df.agg(count(lit(1)).as("n"), lit(1L).as("g"))
-        else
-          df.agg(count(lit(1)).as("n"),
-            approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
-      val r = probe.head()
-      r.getLong(0) / math.max(1L, r.getLong(1)) > perGroupBound
+      val maxGroup =
+        if (groupCols.isEmpty) df.count()
+        else {
+          val r = df.groupBy(groupCols.map(col): _*)
+            .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+      maxGroup > perGroupBound
     }
+  }
+
+  /** `(provenMax, ceiling)` per-key frequency bounds from an
+    * equi-height histogram. A value with frequency ≥ 2·height must
+    * fully own at least one bin (which then has ndv = 1 and lo = hi =
+    * that value); `provenMax` sums the heights of the longest run of
+    * such bins sharing one value — a LOWER bound on that key's true
+    * frequency (it may extend partially into the neighbor bins).
+    * `ceiling` = provenMax + 2·height is an UPPER bound on EVERY key's
+    * frequency: a key owning m full bins carries < (m+2)·height rows,
+    * and a key owning none carries < 2·height. */
+  private[graft] def histKeyFreqBounds(
+      h: org.apache.spark.sql.catalyst.plans.logical.Histogram)
+      : (Double, Double) = {
+    var proven = 0.0; var run = 0.0; var runV = Double.NaN
+    h.bins.foreach { b =>
+      if (b.ndv <= 1 && b.lo == b.hi) {
+        if (b.lo == runV) run += h.height else { runV = b.lo; run = h.height }
+        proven = math.max(proven, run)
+      } else { runV = Double.NaN; run = 0.0 }
+    }
+    (proven, proven + 2 * h.height)
   }
 
   /** [[winsorize]] with the arm picked by [[useApprox]]: exact bounds

@@ -148,7 +148,10 @@ object Sketches {
                    keyCols: Seq[String], ndCol: String,
                    lgK: Int = 12): DataFrame = {
     import graft.functions.{ThetaDiffEstimate, ThetaEstimate}
-    val hist = thetaMerge(histPartials, keyCols)
+    // merge at the caller's lgK (r15 — the default here silently
+    // downsampled history precision to nominal 4096 while the batch
+    // side honored the requested lgK)
+    val hist = thetaMerge(histPartials, keyCols, lgK)
       .select(keyCols.map(col) :+ col("theta").as("_th"): _*)
     thetaPartials(batch, keyCols, ndCol, lgK)
       .select(keyCols.map(col) :+ col("n").as("n_batch") :+

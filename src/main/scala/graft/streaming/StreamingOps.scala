@@ -498,6 +498,17 @@ object StreamingOps {
               "predecessors were pruned — history would be silently " +
               "lost. Restore a prior snapshot or reset stateDir and " +
               "checkpointDir together")
+        // same loss, other shape (r15): the checkpoint says batches
+        // 0..batchId-1 already ran, but NO snapshot survives at all
+        // (an over-prune or external wipe also took state=batchId) —
+        // falling through would quietly rebuild state from this batch
+        // alone, discarding all accumulated history
+        if (batchId > 0 && snaps.isEmpty)
+          throw new IllegalStateException(
+            s"state dir $stateDir is empty but the checkpoint is at " +
+              s"batch $batchId: accumulated state was wiped outside " +
+              "the stream — restore a snapshot or reset stateDir and " +
+              "checkpointDir together")
         // fullState: the r14 combined row (count/sum/extremes + HLL +
         // KLL + theta) instead of the HLL-only state — same snapshot
         // lifecycle, one reduction per batch either way

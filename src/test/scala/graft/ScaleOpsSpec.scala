@@ -481,6 +481,67 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("useApprox is skew-aware: a hot group past the bound dispatches approx despite a tiny average") {
+    import graft.operators.Profile
+    val bound = 1000L
+    // 99 groups of 100 rows + ONE group of 10·bound rows (avg ≈ 199):
+    // the r14 average-based dispatch chose the exact arm here — whose
+    // single-reducer buffer on the hot group is the 100 TB failure
+    // mode the dispatch exists to avoid (r14 VERDICT item 3). The
+    // Projects strip the ranges' rowCount, so this exercises the probe.
+    val skewed = spark.range(9900).select((col("id") % 99).as("g"))
+      .unionAll(spark.range(10000).select(lit(999L).as("g")))
+    assert(Profile.useApprox(skewed, Seq("g"), bound))
+    // same shape minus the hot group: the exact arm stays chosen
+    val even = spark.range(9900).select((col("id") % 99).as("g"))
+    assert(!Profile.useApprox(even, Seq("g"), bound))
+    // empty input: the probe's max() is NULL → exact (nothing buffers)
+    assert(!Profile.useApprox(
+      even.where(col("g") === lit(-1L)), Seq("g"), bound))
+  }
+
+  test("useApprox: ANALYZEd histograms decide the skewed case with no probe job") {
+    import graft.operators.Profile
+    spark.sql("DROP TABLE IF EXISTS ua_skew")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "ua_skew"))
+    // hot key 1: 50k rows; keys 2..101: 50 rows each → avg group ≈ 545
+    spark.range(50000).selectExpr("1L AS k", "id % 7 AS j")
+      .unionAll(spark.range(5000).selectExpr("2 + id % 100 AS k", "id % 7 AS j"))
+      .write.mode("overwrite").saveAsTable("ua_skew")
+    val prevH = spark.conf.get("spark.sql.statistics.histogram.enabled")
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      spark.sql("ANALYZE TABLE ua_skew COMPUTE STATISTICS FOR COLUMNS k, j")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val t = spark.table("ua_skew")
+      def jobs(): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val before = jobs()
+      // the average (545) sits far under the bound, but the equi-height
+      // histogram PROVES key 1 owns ≥ ~49.6k rows (full single-value
+      // bins) → sketch arm, zero jobs; the r14 dispatch said false here
+      assert(Profile.useApprox(t, Seq("k"), 10000L))
+      // and the ceiling direction: no key can exceed provenMax +
+      // 2·height ≈ 50.4k, so the exact arm is PROVEN safe at 51k —
+      // a skew-checked false, still zero jobs
+      assert(!Profile.useApprox(t, Seq("k"), 51000L))
+      // multi-column grouping: every (k, j) group is a subset of its k
+      // slice, so k's ceiling caps all groups — decided without the
+      // correlation-blind distinct-count product (101·7 = 707 "groups")
+      assert(!Profile.useApprox(t, Seq("k", "j"), 51000L))
+      assert(jobs() === before,
+        s"histogram dispatch ran ${jobs() - before} jobs")
+    } finally {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", prevH)
+      spark.conf.set("spark.sql.cbo.enabled", prevC)
+    }
+  }
+
   test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {
     import spark.implicits._
     import graft.functions.TopKSketch

@@ -614,6 +614,100 @@ class StreamingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("no prior")), messages(e).mkString(" | "))
   }
 
+  test("aggStateStream fails fast when the whole state dir was wiped mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // r14 ADVICE: the orphaned-snapshot guard only fired when the
+    // re-running batch's OWN state=N dir survived; an over-prune or
+    // external wipe that removed EVERY snapshot fell through to the
+    // fresh-start branch and silently rebuilt state from the current
+    // batch alone — same history loss, other shape
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wiped_")
+    val stateDir = tmp.resolve("state").toString
+    val in = MemoryStream[(String, Double, Long)]
+    val q = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData(("a", 1.0, 1L)); q.processAllAvailable()
+    in.addData(("a", 2.0, 2L)); q.processAllAvailable()
+    q.stop()
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(delete)); f.delete(); ()
+    }
+    delete(new java.io.File(stateDir)) // external wipe of ALL snapshots
+    val q2 = StreamingOps.aggStateStream(
+      in.toDF().toDF("key", "v", "u"), Seq("key"), "v", "u",
+      stateDir, tmp.resolve("ckpt").toString, emit = _ => ())
+    in.addData(("b", 3.0, 3L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("wiped outside")),
+      messages(e).mkString(" | "))
+  }
+
+  test("auto-compaction crash between emit and compaction: restart converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // r14 VERDICT item 6: compactLedger(upToBatch = batchId − 1) fires
+    // inside foreachBatch AFTER emit — so a crash in that window
+    // re-runs the batch with its own ledger dir already written and
+    // the maintenance pass still pending. The re-run must neither
+    // dedup the batch against its half-written self, double-append,
+    // nor skip the compaction — final kept set and ledger layout equal
+    // the crash-free maintained run.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_autocrash_")
+    val ledgerDir = tmp.resolve("ledger").toString
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    var crashed = false
+    val in = MemoryStream[(Long, String)]
+    def start() = StreamingOps.dedupExactStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ledgerDir, tmp.resolve("ckpt").toString,
+      emit = b => kept.synchronized {
+        val ids = b.select("doc_id").as[Long].collect()
+        // first delivery of batch 2 (doc 5) dies IN emit: after the
+        // ledger write, before the batch-2 compaction pass
+        if (!crashed && ids.contains(5L)) {
+          crashed = true
+          throw new IllegalStateException("emit sink died")
+        }
+        kept ++= ids
+      },
+      maintainEvery = 2)
+    val q = start()
+    in.addData((1L, "alpha"), (2L, "beta"));  q.processAllAvailable()
+    in.addData((3L, "alpha"), (4L, "gamma")); q.processAllAvailable()
+    in.addData((5L, "delta"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    // batch 2's own ledger dir was written before the crash — the
+    // exact window under test
+    assert(new java.io.File(ledgerDir, "batch=2").isDirectory)
+    val q2 = start() // same checkpoint: batch 2 re-runs
+    q2.processAllAvailable()
+    in.addData((6L, "gamma"), (7L, "epsilon")); q2.processAllAvailable()
+    in.addData((8L, "zeta"), (9L, "beta"));     q2.processAllAvailable()
+    q2.stop()
+    assert(kept.toSet === Set(1L, 2L, 4L, 5L, 7L, 8L))
+    assert(kept.size === 6, s"double-emitted: $kept")
+    // the re-run's batch-2 compaction folded 0..1; batch 4's folded ≤3
+    val dirs = new java.io.File(ledgerDir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    assert(dirs === Seq("batch=0-3-g2", "batch=4"), dirs.mkString(","))
+    // converged history: every kept content fingerprint exactly once
+    assert(spark.read.parquet(ledgerDir).select("fp").distinct().count() === 6L)
+    assert(spark.read.parquet(ledgerDir).count() === 6L)
+  }
+
   test("aggStateStream fails fast when a fresh checkpoint reuses an old state dir") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

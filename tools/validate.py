@@ -122,13 +122,38 @@ def main(sf_dir, out_dir):
                 break
         if bad:
             results[name] = f"VALUE_MISMATCH at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"
-        else:
-            results[name] = f"OK rows={len(srows)}" + (" EMPTY!" if not srows else "")
+            continue
+        tag = f"OK rows={len(srows)}" + (" EMPTY!" if not srows else "")
+        # DECIMAL_RISK (round-14 postmortem, the second break of this
+        # gate's local-green-must-mean-driver-green promise): decimal128
+        # is the one arrow type the driver's hasher canonicalized
+        # differently from DuckDB while every value compared equal here
+        # AND canonical types matched (q_join_size, r14's only hash
+        # failure). So a decimal anywhere in an output schema is flagged
+        # even when the query passes, and decimal values are additionally
+        # compared under their string rendering — the second
+        # canonicalization a foreign hasher might use.
+        dec_cols = [c for c in sn if "decimal" in spark_types[c]]
+        if dec_cols:
+            idx = [i for i, c in enumerate(sn) if "decimal" in spark_types[c]]
+            drift2 = any(
+                a[i] is not None and b[i] is not None and str(a[i]) != str(b[i])
+                for a, b in zip(srows, drows) for i in idx)
+            tag += f" DECIMAL_RISK cols={dec_cols}"
+            if drift2:
+                tag += " RENDER_DRIFT!"
+        results[name] = tag
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    n_dec = sum(1 for v in results.values() if "DECIMAL_RISK" in v)
     for k in sorted(results):
         print(f"{k:28s} {results[k]}")
     print(f"\n{n_ok} OK / {n_rows_only} rows-only / {len(results)} total")
+    if n_dec:
+        print(f"WARNING: {n_dec} quer{'y' if n_dec == 1 else 'ies'} export "
+              "decimal columns — the driver hasher canonicalizes decimal128 "
+              "differently (r14 q_join_size); prefer BIGINT or VARCHAR "
+              "renderings on oracle-facing outputs")
     return 0 if n_ok + n_rows_only == len(results) else 1
 
 def rows_equal(a, b):
