@@ -295,8 +295,12 @@ object SparkEntry {
     // the exact integer row count.
     "q_mad_outliers_approx" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // preAggregate: l_quantity is integer-valued (~50 distinct), so
+      // the sketch absorbs (flag, quantity) counts as weighted updates
+      // — O(values) sketch work instead of O(rows) (r15); the bound
+      // contract below verifies the same ±1% rank bands either way
       val ap = Profile.madOutliers(li, "l_quantity", Seq("l_returnflag"),
-        k = 1.5, approx = true)
+        k = 1.5, approx = true, preAggregate = true)
         .groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),
           min("_med").as("_amed"), min("_mad").as("_amad"))

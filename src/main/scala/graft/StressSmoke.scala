@@ -167,7 +167,8 @@ object StressSmoke {
     // verification that the registered *_approx twins must also run
     "q_mad_sketch_raw" -> ((s, dir) => {
       graft.operators.Profile.madOutliers(Tables(s, dir, "lineitem"),
-        "l_quantity", Seq("l_returnflag"), k = 1.5, approx = true)
+        "l_quantity", Seq("l_returnflag"), k = 1.5, approx = true,
+        preAggregate = true)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),

@@ -100,6 +100,82 @@ object KllSketchAgg {
       new KllSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 }
 
+/** WEIGHTED KLL sketch build: `update(value, weight)` is equivalent to
+  * `weight` plain updates but costs O(log weight) level insertions
+  * (DataSketches KLL weighted update — the weight decomposes in binary
+  * across sketch levels, introducing no sampling error at insertion).
+  * This is the pre-aggregated arm for LOW-CARDINALITY value columns
+  * (integer-valued counts/quantities): a codegen'd
+  * `(group, value) → count` hash aggregate first collapses the corpus
+  * to one row per distinct value, then the sketch absorbs those counts
+  * as weights — O(distinct values) sketch updates instead of O(rows),
+  * while every rank-error bound of the plain sketch still holds.
+  * Null weights are skipped like null values; weights must be ≥ 1. */
+case class KllSketchWeightedAgg(value: Expression, weight: Expression, k: Int,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8 && k <= 65535, s"need 8 <= k <= 65535, got $k")
+
+  override def children: Seq[Expression] = Seq(value, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch_weighted_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = value.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"kll_sketch_weighted_agg: integral weight required, got ${other.getClass.getName}")
+      }
+      val vd = v match {
+        case d: Double => d
+        case f: Float  => f.toDouble
+        case l: Long   => l.toDouble
+        case i: Int    => i.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other => throw new IllegalArgumentException(
+          s"kll_sketch_weighted_agg: unsupported input ${other.getClass.getName}")
+      }
+      buf.update(vd, wl)
+    }
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchWeightedAgg =
+    copy(value = newChildren(0), weight = newChildren(1))
+}
+
+object KllSketchWeightedAgg {
+  def apply(value: Column, weight: Column, k: Int): Column =
+    ColumnBridge.column(
+      new KllSketchWeightedAgg(ColumnBridge.expression(value),
+        ColumnBridge.expression(weight), k).toAggregateExpression())
+}
+
 /** Quantile estimate at `rank` (a [0,1] literal-ish expression) from a
   * serialized KLL sketch; null for an empty sketch. Interpreted
   * (CodegenFallback) by design — runs on per-slice sketch rows. */

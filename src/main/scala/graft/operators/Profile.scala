@@ -45,10 +45,23 @@ object Profile {
     * the bounds move, by at most the sketch's rank error. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 lo: Double, hi: Double, approx: Boolean = false,
-                sketchK: Int = 800): DataFrame = {
+                sketchK: Int = 800,
+                preAggregate: Boolean = false): DataFrame = {
     require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo <= hi <= 1, got $lo/$hi")
     val bounds =
-      if (approx)
+      if (approx && preAggregate)
+        // low-cardinality opt-in (r15, see [[madOutliers]]): collapse
+        // to (group, value) counts first, sketch the counts as weights
+        df.groupBy(groupCols.map(col) :+
+            col(valueCol).cast("double").as("_pv"): _*)
+          .agg(count(lit(1)).as("_pw"))
+          .groupBy(groupCols.map(col): _*)
+          .agg(graft.functions.KllSketchWeightedAgg(
+            col("_pv"), col("_pw"), sketchK).as("_sk"))
+          .select(groupCols.map(col) :+
+            graft.functions.KllQuantileEstimate(col("_sk"), lit(lo)).as("_lo") :+
+            graft.functions.KllQuantileEstimate(col("_sk"), lit(hi)).as("_hi"): _*)
+      else if (approx)
         // one sketch build per group, BOTH bounds read from it — the
         // two-quantile shape must never pay two aggregation passes
         df.groupBy(groupCols.map(col): _*)
@@ -179,18 +192,22 @@ object Profile {
     * `perGroupBound` rows per group. Same output schema either way. */
   def winsorizeAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
                     lo: Double, hi: Double, sketchK: Int = 800,
-                    perGroupBound: Long = 1000000L): DataFrame =
+                    perGroupBound: Long = 1000000L,
+                    preAggregate: Boolean = false): DataFrame =
     winsorize(df, valueCol, groupCols, lo, hi,
-      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK)
+      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK,
+      preAggregate = preAggregate)
 
   /** [[madOutliers]] with the arm picked by [[useApprox]] — the same
     * size-driven dispatch as [[winsorizeAuto]] (and the policy behind
     * the q_a8_percentiles / _approx twin pair). */
   def madOutliersAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
                       k: Double = 3.0, sketchK: Int = 800,
-                      perGroupBound: Long = 1000000L): DataFrame =
+                      perGroupBound: Long = 1000000L,
+                      preAggregate: Boolean = false): DataFrame =
     madOutliers(df, valueCol, groupCols, k,
-      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK)
+      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK,
+      preAggregate = preAggregate)
 
   /** Join `df` back to its per-group `bounds` table NULL-SAFELY on the
     * group keys: groupBy puts rows with a null key into their own
@@ -273,20 +290,62 @@ object Profile {
     * same IEEE-exact ops on whichever bounds arm produced them. */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   k: Double = 3.0, approx: Boolean = false,
-                  sketchK: Int = 800): DataFrame = {
+                  sketchK: Int = 800,
+                  preAggregate: Boolean = false): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
-    def med(c: Column): Column =
-      if (approx) graft.functions.KllQuantileEstimate(
-        graft.functions.KllSketchAgg(c.cast("double"), sketchK), lit(0.5))
-      else median(c)
-    val medT = df.groupBy(groupCols.map(col): _*)
-      .agg(med(col(valueCol)).as("_med"))
-    val withMed = joinBounds(df, medT, groupCols)
-      .withColumn("_absdev", abs(col(valueCol) - col("_med")))
-    val mad = withMed.groupBy(groupCols.map(col): _*)
-      .agg(med(col("_absdev")).as("_mad"))
-    joinBounds(withMed, mad, groupCols)
-      .withColumn("is_outlier", col("_absdev") > lit(k) * col("_mad"))
+    // preAggregate (r15, sketch arm only): for LOW-CARDINALITY value
+    // columns (integer-valued counts/quantities — the very columns
+    // this operator's scaladoc recommends), collapse the corpus to a
+    // codegen'd (group, value) → count hash aggregate first and feed
+    // the counts to the sketch as WEIGHTS — O(distinct values) sketch
+    // updates instead of O(rows), same rank-error bounds, same k (and
+    // in practice EXACT: distinct values ≪ k keeps the weighted sketch
+    // out of its sampling regime at any corpus size). The caller opts
+    // in because cardinality is a data fact the schema doesn't carry
+    // (l_quantity is a physical double); on a high-cardinality column
+    // the pre-aggregation would shuffle every row and help nothing.
+    //
+    // The counts table also ELIMINATES the second corpus pass: the
+    // residual |v − med| distribution is a pure function of the
+    // (group, value, count) rows (≤ 2·|values| distinct deviations,
+    // counts carried over), so the MAD is computed from the tiny table
+    // — the corpus is scanned twice total (counts build + final fence
+    // pass) instead of the three passes the exact and plain-sketch
+    // arms pay. localCheckpoint materializes the tiny table so the
+    // med and mad derivations don't re-run the corpus aggregate.
+    if (approx && preAggregate) {
+      val g = groupCols.map(col)
+      val counts = df
+        .groupBy(g :+ col(valueCol).cast("double").as("_pv"): _*)
+        .agg(count(lit(1)).as("_pw"))
+        .localCheckpoint()
+      def wmed(in: DataFrame, v: Column, out: String): DataFrame =
+        in.groupBy(g: _*).agg(graft.functions.KllQuantileEstimate(
+          graft.functions.KllSketchWeightedAgg(v, col("_pw"), sketchK),
+          lit(0.5)).as(out))
+      val medT = wmed(counts, col("_pv"), "_med")
+      val madT = wmed(
+        joinBounds(counts, medT, groupCols)
+          .withColumn("_pd", abs(col("_pv") - col("_med"))),
+        col("_pd"), "_mad")
+      val withMed = joinBounds(df, medT, groupCols)
+        .withColumn("_absdev", abs(col(valueCol) - col("_med")))
+      joinBounds(withMed, madT, groupCols)
+        .withColumn("is_outlier", col("_absdev") > lit(k) * col("_mad"))
+    } else {
+      def med(c: Column): Column =
+        if (approx) graft.functions.KllQuantileEstimate(
+          graft.functions.KllSketchAgg(c.cast("double"), sketchK), lit(0.5))
+        else median(c)
+      val medT = df.groupBy(groupCols.map(col): _*)
+        .agg(med(col(valueCol)).as("_med"))
+      val withMed = joinBounds(df, medT, groupCols)
+        .withColumn("_absdev", abs(col(valueCol) - col("_med")))
+      val mad = withMed.groupBy(groupCols.map(col): _*)
+        .agg(med(col("_absdev")).as("_mad"))
+      joinBounds(withMed, mad, groupCols)
+        .withColumn("is_outlier", col("_absdev") > lit(k) * col("_mad"))
+    }
   }
 
   /** Per-group second-moment statistics — sample variance/stddev of
@@ -346,13 +405,25 @@ object Profile {
     * [[madOutliers]]/[[winsorize]], same rank-error contract), same
     * output shape. Note for oracle parity: boundary COMPARISONS
     * (v > bᵢ) are only engine-exact when interpolated boundaries are
-    * (integer-valued columns — the q_a2_median argument). */
+    * (integer-valued columns — the q_a2_median argument).
+    * `preAggregate` (r15, sketch arm only): same low-cardinality
+    * opt-in as [[madOutliers]] — collapse to per-value counts first,
+    * sketch the counts as weighted updates. */
   def equidepth(df: DataFrame, valueCol: String, bins: Int,
-                approx: Boolean = false, sketchK: Int = 800): DataFrame = {
+                approx: Boolean = false, sketchK: Int = 800,
+                preAggregate: Boolean = false): DataFrame = {
     require(bins >= 2, s"need bins >= 2, got $bins")
     val qs = (1 until bins).map(i => i.toDouble / bins).mkString(", ")
     val bounds =
-      if (approx)
+      if (approx && preAggregate)
+        df.groupBy(col(valueCol).cast("double").as("_pv"))
+          .agg(count(lit(1)).as("_pw"))
+          .agg(graft.functions.KllSketchWeightedAgg(
+            col("_pv"), col("_pw"), sketchK).as("_sk"))
+          .select(array((1 until bins).map(i =>
+            graft.functions.KllQuantileEstimate(
+              col("_sk"), lit(i.toDouble / bins))): _*).as("_bs"))
+      else if (approx)
         df.agg(graft.functions.KllSketchAgg(
             col(valueCol).cast("double"), sketchK).as("_sk"))
           .select(array((1 until bins).map(i =>

@@ -160,6 +160,75 @@ class SketchOpsSpec extends SparkSpec {
     assert(got._3 === 90.0, s"p90 ${got._3}")
   }
 
+  test("weighted KLL build equals the plain sketch's answers on the same multiset") {
+    import graft.functions.{KllQuantileEstimate, KllSketchAgg, KllSketchWeightedAgg}
+    // multiset: value i (1..50) appears i·10 times (12,750 rows). The
+    // weighted arm sees ONE row per value with its count as weight —
+    // 50 retained items at k=800, so binary weight decomposition makes
+    // rank queries exact order statistics, same as the raw sketch
+    // below k... which here is ABOVE k (12,750 > 800) and may compact;
+    // so assert the weighted arm against the EXACT order statistic.
+    val counts = (1 to 50).map(i => (i.toDouble, i * 10L))
+    val raw = counts.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    def exactAtRank(p: Double): Double = { // inclusive: smallest v with rank ≥ p
+      val sorted = raw.sorted
+      sorted(math.ceil(p * sorted.size).toInt - 1)
+    }
+    val wdf = counts.toDF("v", "w")
+    val got = wdf.agg(
+        KllQuantileEstimate(KllSketchWeightedAgg(col("v"), col("w"), 800),
+          lit(0.5)).as("q50"),
+        KllQuantileEstimate(KllSketchWeightedAgg(col("v"), col("w"), 800),
+          lit(0.9)).as("q90"))
+      .as[(Double, Double)].collect().head
+    assert(got._1 === exactAtRank(0.5), s"weighted median ${got._1}")
+    assert(got._2 === exactAtRank(0.9), s"weighted p90 ${got._2}")
+    // merge-safety: partial weighted sketches built on shards answer
+    // identically after a binary-mode merge (the map-side-combine path)
+    val merged = wdf.repartition(7, col("v"))
+      .groupBy(pmod(col("v").cast("int"), lit(3)).as("shard"))
+      .agg(KllSketchWeightedAgg(col("v"), col("w"), 800).as("sk"))
+      .agg(KllQuantileEstimate(KllSketchAgg(col("sk"), 800), lit(0.5)))
+      .as[Double].collect().head
+    assert(merged === exactAtRank(0.5), s"merged weighted median $merged")
+  }
+
+  test("madOutliers/winsorize preAggregate arm holds the oracle band contracts") {
+    import graft.operators.Profile
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    // the pre-aggregated sketch arm must satisfy the SAME ±1% rank
+    // bands the registered *_approx twins pin (and the plan must
+    // actually run the weighted aggregate, not silently fall back)
+    val mad = Profile.madOutliers(li, "l_quantity", Seq("l_returnflag"),
+      k = 1.5, approx = true, preAggregate = true)
+    assert(mad.queryExecution.optimizedPlan.toString
+      .contains("kll_sketch_weighted_agg"))
+    val exMed = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, array(0.49, 0.51))").as("em"))
+    val medChecks = mad.groupBy("l_returnflag")
+      .agg(min("_med").as("_amed"), min("_mad").as("_amad"))
+      .join(exMed, "l_returnflag")
+      .select((col("_amed") >= col("em")(0) && col("_amed") <= col("em")(1)).as("ok"))
+      .as[Boolean].collect()
+    assert(medChecks.forall(identity), medChecks.mkString(","))
+    val w = Profile.winsorize(li, "l_quantity", Seq("l_returnflag"),
+      lo = 0.05, hi = 0.95, approx = true, preAggregate = true)
+    assert(w.queryExecution.optimizedPlan.toString
+      .contains("kll_sketch_weighted_agg"))
+    val exB = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, array(0.04, 0.06, 0.94, 0.96))").as("e"))
+    val bChecks = w.groupBy("l_returnflag")
+      .agg(min("_lo").as("_alo"), min("_hi").as("_ahi"),
+        sum(when(col("l_quantity_w") < col("_lo")
+          || col("l_quantity_w") > col("_hi"), 1L).otherwise(0L)).as("esc"))
+      .join(exB, "l_returnflag")
+      .select((col("_alo") >= col("e")(0) && col("_alo") <= col("e")(1)
+        && col("_ahi") >= col("e")(2) && col("_ahi") <= col("e")(3)
+        && col("esc") === 0L).as("ok"))
+      .as[Boolean].collect()
+    assert(bChecks.forall(identity), bChecks.mkString(","))
+  }
+
   test("theta partials survive a parquet round-trip (the state-table path)") {
     // production stores partials as a table and intersects LATER runs'
     // sketches against them — the binary column must round-trip
@@ -324,6 +393,17 @@ class SketchOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum === n.toLong)
     got.foreach { case (b, cnt, _, _) =>
       assert(math.abs(cnt - n / 4) <= n * 0.04, s"bin $b holds $cnt of $n")
+    }
+    // preAggregate arm (r15): same contract on a DUPLICATE-heavy column
+    // (each of 400 values appears 100×) — the weighted sketch holds the
+    // per-value counts exactly, so bins balance within the same bands
+    val dup = (1 to n).map(i => (i % 400).toDouble).toDF("v")
+    val gotW = Profile.equidepth(dup, "v", bins = 4, approx = true,
+      preAggregate = true)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    assert(gotW.map(_._2).sum === n.toLong)
+    gotW.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 4) <= n * 0.04, s"preAgg bin $b holds $cnt of $n")
     }
   }
 
