@@ -48,8 +48,11 @@ object Plans {
     // the lineitem scan (Catalyst can't infer it through the semi-join
     // condition) so the fact side shuffles only the late tail
     "q_tpch_q4",
-    // round 12: the sketch-MAD arm — the operator's two medians appear
-    // as partial_percentile_approx (map-side-merged sketch state); the
+    // round 12 (re-shaped r14: GK→KLL; r15: pre-aggregated weighted
+    // arm) — the operator's medians now derive from a codegen'd
+    // (group, value)→count hash aggregate feeding kll_sketch_weighted
+    // updates, with the MAD residual pass computed from the
+    // localCheckpointed counts table (no second corpus scan); the
     // exact-percentile branches in the same plan are the oracle's
     // bound checks, not the operator
     "q_mad_outliers_approx",
