@@ -2248,9 +2248,18 @@ object SparkEntry {
 
     // Window analytics: rank / lag / lead / exact running sum
     "q_w_analytics" -> ((s, dir) => {
+      // l_extendedprice is the LAST order key because (l_orderkey,
+      // l_linenumber) is not unique in the synthetic lineitem: without
+      // it the window order has ties, and lag/lead EMIT the neighbor's
+      // value, so either engine may resolve a tie either way (caught at
+      // sf0.1 in r15: one tied pair swapped and prev_val hash-diverged;
+      // running_sum is tie-immune, neighbor reads are not). With the
+      // measure as tiebreak, any remaining ties are fully identical
+      // rows, whose outputs are interchangeable.
       Windows.analytics(t(s, dir, "lineitem"),
         partition = Seq("l_suppkey"),
-        order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
         measure = col("l_extendedprice"))
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
           col("prev_val"), col("next_val"), col("running_sum"))
@@ -4673,6 +4682,8 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // l_extendedprice tiebreak mirrors the Spark side: (l_orderkey,
+    // l_linenumber) is not unique, and lag/lead leak tie resolution
     "q_w_analytics" ->
       """SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber,
         |  prev_val, next_val, running_sum
@@ -4682,9 +4693,10 @@ object SparkEntry {
         |    lag(l_extendedprice, 1) OVER w AS prev_val,
         |    lead(l_extendedprice, 1) OVER w AS next_val,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
-        |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
         |  FROM lineitem
-        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice))
         |ORDER BY l_suppkey, rn""".stripMargin)
 }
