@@ -183,6 +183,16 @@ class SketchOpsSpec extends SparkSpec {
       .as[(Double, Double)].collect().head
     assert(got._1 === exactAtRank(0.5), s"weighted median ${got._1}")
     assert(got._2 === exactAtRank(0.9), s"weighted p90 ${got._2}")
+    // null value OR null weight skips the row (same contract as the
+    // plain sketch's null skip) — the estimate over the survivors only
+    val withNulls = (counts.map { case (v, w) => (Some(v), Some(w)) } ++
+      Seq((None, Some(99999L)), (Some(9999.0), None)))
+      .toDF("v", "w")
+    val gotN = withNulls.agg(
+        KllQuantileEstimate(KllSketchWeightedAgg(col("v"), col("w"), 800),
+          lit(0.5)))
+      .as[Double].collect().head
+    assert(gotN === exactAtRank(0.5), s"null-skipping weighted median $gotN")
     // merge-safety: partial weighted sketches built on shards answer
     // identically after a binary-mode merge (the map-side-combine path)
     val merged = wdf.repartition(7, col("v"))
