@@ -193,21 +193,49 @@ object Profile {
   def winsorizeAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
                     lo: Double, hi: Double, sketchK: Int = 800,
                     perGroupBound: Long = 1000000L,
-                    preAggregate: Boolean = false): DataFrame =
+                    preAggregate: Boolean = false): DataFrame = {
+    val approx = useApprox(df, groupCols, perGroupBound)
     winsorize(df, valueCol, groupCols, lo, hi,
-      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK,
-      preAggregate = preAggregate)
+      approx = approx, sketchK = sketchK,
+      preAggregate = preAggregate || (approx && lowCardinality(df, valueCol)))
+  }
 
   /** [[madOutliers]] with the arm picked by [[useApprox]] — the same
     * size-driven dispatch as [[winsorizeAuto]] (and the policy behind
-    * the q_a8_percentiles / _approx twin pair). */
+    * the q_a8_percentiles / _approx twin pair). Both Auto faces also
+    * pick the sketch arm's EXECUTION STRATEGY from statistics (r15):
+    * when CBO column stats prove the value column low-cardinality
+    * ([[lowCardinality]] — zero jobs), the weighted pre-aggregated
+    * path is taken without the caller having to know the data. */
   def madOutliersAuto(df: DataFrame, valueCol: String, groupCols: Seq[String],
                       k: Double = 3.0, sketchK: Int = 800,
                       perGroupBound: Long = 1000000L,
-                      preAggregate: Boolean = false): DataFrame =
+                      preAggregate: Boolean = false): DataFrame = {
+    val approx = useApprox(df, groupCols, perGroupBound)
     madOutliers(df, valueCol, groupCols, k,
-      approx = useApprox(df, groupCols, perGroupBound), sketchK = sketchK,
-      preAggregate = preAggregate)
+      approx = approx, sketchK = sketchK,
+      preAggregate = preAggregate || (approx && lowCardinality(df, valueCol)))
+  }
+
+  /** True when CBO column statistics PROVE `c` has at most `maxValues`
+    * distinct values — the zero-job evidence the Auto faces use to
+    * flip the sketch arm's weighted pre-aggregation on (the
+    * (group, value) → count table stays tiny and the sketch does
+    * O(values) weighted updates instead of O(rows)). Absent stats it
+    * answers false: the pre-aggregation on a high-cardinality column
+    * would shuffle every row for nothing, so the default must be the
+    * always-safe plain sketch. 4096 default: comfortably past any
+    * integer-valued measure column while keeping the counts table
+    * broadcast-sized even against millions of groups. */
+  private[graft] def lowCardinality(df: DataFrame, c: String,
+                                    maxValues: Long = 4096L): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    plan.output.find(a => resolver(a.name, c))
+      .flatMap(plan.stats.attributeStats.get)
+      .flatMap(_.distinctCount)
+      .exists(_ <= BigInt(maxValues))
+  }
 
   /** Join `df` back to its per-group `bounds` table NULL-SAFELY on the
     * group keys: groupBy puts rows with a null key into their own

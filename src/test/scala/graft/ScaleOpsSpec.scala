@@ -534,8 +534,27 @@ class ScaleOpsSpec extends SparkSpec {
       // slice, so k's ceiling caps all groups — decided without the
       // correlation-blind distinct-count product (101·7 = 707 "groups")
       assert(!Profile.useApprox(t, Seq("k", "j"), 51000L))
+      // stats also pick the sketch arm's EXECUTION STRATEGY: j has 7
+      // ANALYZEd distinct values, so the Auto face flips the weighted
+      // pre-aggregated path on by itself; k (101 values) also
+      // qualifies under the 4096 default, a never-ANALYZEd parquet
+      // scan does not
+      assert(Profile.lowCardinality(t, "j"))
+      assert(!Profile.lowCardinality(t, "j", maxValues = 3L))
+      // every decision above — dispatch AND strategy — was stats-only
       assert(jobs() === before,
         s"histogram dispatch ran ${jobs() - before} jobs")
+      // a never-ANALYZEd parquet scan carries no column stats → false
+      // (outside the jobs window: the table READ lists files in a job)
+      assert(!Profile.lowCardinality(
+        Tables(spark, "/root/testdata/sf0.01", "lineitem"), "l_quantity"))
+      // the Auto face then flips the weighted path on by itself (the
+      // arm's construction is allowed to run its counts checkpoint —
+      // that is the operator working, not the dispatch probing)
+      val autoPlan = Profile.madOutliersAuto(t, "j", Seq("k"),
+          k = 1.5, perGroupBound = 10000L)
+        .queryExecution.optimizedPlan.toString
+      assert(autoPlan.contains("kll_sketch_weighted_agg"), autoPlan.take(1200))
     } finally {
       spark.conf.set("spark.sql.statistics.histogram.enabled", prevH)
       spark.conf.set("spark.sql.cbo.enabled", prevC)
