@@ -1462,12 +1462,17 @@ object SparkEntry {
           col("max_key_rows").cast("string").as("max_key_rows"))
     }),
 
-    // Representation-bisect probes for the r14 q_join_size hash
-    // failure: the SAME Σ nₐ·n_b scalar exported through the three
-    // candidate renderings, so CORRECTNESS — the only channel that can
-    // observe the driver's hasher — tells apart which representations
-    // hash stably. BIGINT (exact to 9.2e18), VARCHAR (exact at any
-    // scale), and the r14 DECIMAL(38,0) face that failed.
+    // Representation canaries from the r15 hash bisect: the SAME
+    // Σ nₐ·n_b scalar exported as BIGINT and VARCHAR, the two
+    // renderings the bisect PROVED hash stably across the driver's
+    // DuckDB pair. The third face — DECIMAL(38,0) — was the bisect's
+    // deliberately-red probe: rows/schema matched, hash did not
+    // (driver hasher canonicalizes decimal128 differently despite
+    // bit-identical values), so it answered its question and was
+    // retired in r16. RULE: no query may EXPORT a decimal column;
+    // arbitrary-precision math stays internal, rendered as VARCHAR
+    // (or BIGINT when provably < 9.2e18) at the boundary.
+    // tools/validate.py flags violations (DECIMAL_RISK).
     "q_join_size_bigint" -> ((s, dir) => {
       Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
         t(s, dir, "lineitem"), "l_orderkey")
@@ -1477,11 +1482,6 @@ object SparkEntry {
       Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
         t(s, dir, "lineitem"), "l_orderkey")
         .select(col("join_rows").cast("string").as("join_rows"))
-    }),
-    "q_join_size_dec" -> ((s, dir) => {
-      Profile.joinCardinality(t(s, dir, "orders"), "o_orderkey",
-        t(s, dir, "lineitem"), "l_orderkey")
-        .select(col("join_rows"))
     }),
 
     // Data-quality profile: per-column null/distinct/min/max/mean, one pass
@@ -3428,7 +3428,9 @@ object SparkEntry {
         |  CAST(MAX(CAST(na AS HUGEINT) * nb) AS VARCHAR) AS max_key_rows
         |FROM a JOIN b USING (k)""".stripMargin,
 
-    // Representation-bisect probes (r15): one scalar, three renderings
+    // Representation canaries (r15 bisect, r16 retained): one scalar,
+    // the two renderings proven hash-stable. The decimal face was
+    // retired once the bisect concluded — decimals never export.
     "q_join_size_bigint" ->
       """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
         |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
@@ -3438,11 +3440,6 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
         |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
         |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS VARCHAR) AS join_rows
-        |FROM a JOIN b USING (k)""".stripMargin,
-    "q_join_size_dec" ->
-      """WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
-        |b AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1)
-        |SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS DECIMAL(38,0)) AS join_rows
         |FROM a JOIN b USING (k)""".stripMargin,
 
     "q_profile" -> {

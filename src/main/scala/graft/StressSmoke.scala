@@ -136,7 +136,7 @@ object StressSmoke {
     "q_equidepth", "q_key_skew", "q_join_size", "q_text_pmi",
     // round 15: the q_join_size representation-bisect probes (same
     // per-key-counts join shape, single-scalar output renderings)
-    "q_join_size_bigint", "q_join_size_str", "q_join_size_dec",
+    "q_join_size_bigint", "q_join_size_str",
     // theta overlap: per-slice sketch aggregation over the replicated
     // orders table; the pairwise intersection stays O(slices²) sketch
     // rows no matter the scale (the exact verification arm's distinct

@@ -136,6 +136,8 @@ case class KllSketchWeightedAgg(value: Expression, weight: Expression, k: Int,
         case other => throw new IllegalArgumentException(
           s"kll_sketch_weighted_agg: integral weight required, got ${other.getClass.getName}")
       }
+      if (wl < 1L) throw new IllegalArgumentException(
+        s"kll_sketch_weighted_agg: weight must be >= 1, got $wl")
       val vd = v match {
         case d: Double => d
         case f: Float  => f.toDouble

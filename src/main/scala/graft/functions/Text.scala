@@ -318,11 +318,21 @@ object Text {
     * shuffle carries distinct bigrams); marginals derive from the
     * aggregated bigram table, not the token stream; the scoring joins
     * are between aggregated vocab-sized tables; top-k is a TakeOrdered,
-    * never a global sort. */
+    * never a global sort. The aggregated bigram table feeds FOUR
+    * consumers (left marginal, right marginal, corpus total, the
+    * filtered main branch), so it is localCheckpoint'ed once — lazily,
+    * so constructing the DataFrame stays side-effect-free; the
+    * corpus-sized explode+count runs exactly once when the query
+    * executes instead of once per consumer branch (AQE stage reuse
+    * does not catch this shape). Tradeoff: checkpointing truncates
+    * lineage into executor-local storage, so a lost executor can't
+    * recompute those blocks — acceptable for a distinct-bigram-sized
+    * table that is 4× cheaper to hold than to recompute. */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
                    topK: Int = 20): DataFrame = {
     val bg = docs.select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = false)
     val leftM = bg.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum("c_ab").as("c_a"))
     val rightM = bg.groupBy(element_at(split(col("bg"), " "), 2).as("w2"))
@@ -412,17 +422,18 @@ object Text {
     * keyed (group, token), so each shuffle carries VOCAB-sized
     * aggregated rows, never the raw token stream; the joins are
     * token-/group-keyed between aggregated tables and the final
-    * per-group reduce partial-combines. Honest caveat (PlanProbe'd):
-    * the four consumers of that aggregate prune different columns, so
-    * Spark re-runs the scan+explode per branch where AQE's stage
-    * reuse misses (2 of 4 reused at sf0.1; measured 2.4/100 at the
-    * 100× probe — linear recompute, not a shuffle blow-up). On a real
-    * cluster pass, `persist()` the (group, token) aggregate before
-    * fan-out to make it one scan. */
+    * per-group reduce partial-combines. The aggregate feeds FOUR
+    * consumers that prune different columns, so AQE stage reuse
+    * misses it (2 of 4 reused at sf0.1 when unpersisted) — it is
+    * localCheckpoint'ed once, lazily (construction side-effect-free;
+    * the corpus scan+explode runs exactly once at execution). Same
+    * shape and same fix as [[collocations]]; lineage-truncation
+    * tradeoff documented there. */
   def domainShift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val gt = docs
       .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c_g"))
+      .localCheckpoint(eager = false)
     val corpus = gt.groupBy("tok").agg(sum("c_g").as("c"))
     val gTot = gt.groupBy(col(groupCol)).agg(sum("c_g").as("n_g"))
     val n = gt.agg(sum("c_g").as("n"))

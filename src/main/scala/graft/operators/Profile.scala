@@ -93,26 +93,31 @@ object Profile {
     * rowCount ≤ `perGroupBound` decides `false` with no job at all,
     * since even a single group cannot exceed the bound.
     *
-    * SKEW-aware, and sound in both directions (round 15 — both the CBO
-    * and probe arms used to dispatch on AVERAGE group size, so a hot
-    * key — the exact case [[keySkew]] diagnoses — could blow past the
-    * bound while the average stayed under, picking the exact arm whose
+    * SKEW-aware in both directions (round 15 — both the CBO and probe
+    * arms used to dispatch on AVERAGE group size, so a hot key — the
+    * exact case [[keySkew]] diagnoses — could blow past the bound
+    * while the average stayed under, picking the exact arm whose
     * single-reducer buffer is the thing that dies at 100 TB):
     *
     *  - CBO column stats: the distinct-count PRODUCT is an upper bound
-    *    on the true group count for correlated multi-column groupings,
-    *    so `n / product` is a LOWER bound on the average — and max ≥
-    *    average, so `> perGroupBound` soundly decides `true`. It is
+    *    on the true NON-NULL group count for correlated multi-column
+    *    groupings, so `n / product` is a LOWER bound on the average —
+    *    and max ≥ average, so `> perGroupBound` decides `true`. It is
     *    NEVER used to decide `false` (the r14 bias: correlated columns
     *    overestimate groups, underestimate group size, and the average
     *    says nothing about the max anyway).
     *  - CBO equi-height histograms ([[histKeyFreqBounds]]): any value
     *    with frequency ≥ 2·height owns a whole single-value bin, so
-    *    per-key frequency is provable from bins. A group is a subset
+    *    per-key frequency is readable from bins. A group is a subset
     *    of each of its columns' key slices, so ANY column whose key
-    *    ceiling is ≤ the bound caps every group → `false` with zero
-    *    jobs; for a single-column grouping a proven hot key above the
-    *    bound IS a hot group → `true`.
+    *    ceiling (×[[histSafetyMargin]] — histogram bounds are
+    *    estimates, see [[histKeyFreqBounds]]) is ≤ the bound AND whose
+    *    exact nullCount is ≤ the bound caps every group → `false` with
+    *    zero jobs (r16: histograms never see null rows, but groupBy
+    *    gives null keys their own group — a mostly-NULL column must
+    *    not vouch for a bound its null group alone breaks); for a
+    *    single-column grouping a proven hot key — or a nullCount —
+    *    above the bound IS a hot group → `true`.
     *  - otherwise ONE probe aggregate on the MAX per-group count (the
     *    [[keySkew]] top-1 shape): group-columns-only scan, map-side
     *    combined per-group counts, 1-row max. Costs a counts-table
@@ -144,11 +149,29 @@ object Profile {
         else {
           val bounds = colStats.map(_.flatMap(_.histogram)
             .map(histKeyFreqBounds))
-          if (bounds.exists(_.exists(_._2 <= perGroupBound.toDouble)))
-            Some(false) // some column provably caps every group
+          val nullCounts = colStats.map(_.flatMap(_.nullCount))
+          // Histograms (and distinctCount) describe only NON-NULL
+          // values, but groupBy puts null keys into their own group —
+          // a mostly-NULL column with a tame non-null distribution
+          // has a huge null group the ceiling says nothing about. A
+          // column's ceiling may decide `false` only when its
+          // nullCount is also known ≤ the bound; symmetrically a
+          // single grouping column whose nullCount alone exceeds the
+          // bound IS a hot group (nullCount is an exact ANALYZE
+          // count, not an estimate). The ceiling itself is built from
+          // ANALYZE's approx_percentile endpoints and HLL per-bin
+          // ndv, so it is high-confidence, not a proof — hence the
+          // 2× safety margin before trusting it to cap every group.
+          val capped = bounds.lazyZip(nullCounts).exists {
+            case (b, nc) =>
+              b.exists(_._2 * histSafetyMargin <= perGroupBound.toDouble) &&
+                nc.exists(_ <= BigInt(perGroupBound))
+          }
+          if (capped) Some(false)
           else if (groupCols.size == 1 &&
-              bounds.head.exists(_._1 > perGroupBound.toDouble))
-            Some(true) // a proven hot key IS a hot group
+              (bounds.head.exists(_._1 > perGroupBound.toDouble) ||
+                nullCounts.head.exists(_ > BigInt(perGroupBound))))
+            Some(true) // a proven hot key (or hot null group) IS a hot group
           else None
         }
       }
@@ -165,15 +188,31 @@ object Profile {
     }
   }
 
-  /** `(provenMax, ceiling)` per-key frequency bounds from an
-    * equi-height histogram. A value with frequency ≥ 2·height must
-    * fully own at least one bin (which then has ndv = 1 and lo = hi =
-    * that value); `provenMax` sums the heights of the longest run of
-    * such bins sharing one value — a LOWER bound on that key's true
-    * frequency (it may extend partially into the neighbor bins).
-    * `ceiling` = provenMax + 2·height is an UPPER bound on EVERY key's
+  /** Safety factor applied before a histogram ceiling may decide the
+    * EXACT arm: ANALYZE's histograms are themselves estimates (see
+    * [[histKeyFreqBounds]]) and can be stale, and the exact arm is
+    * the one that dies on a missed hot group. */
+  private val histSafetyMargin: Double = 2.0
+
+  /** `(provenMax, ceiling)` per-key NON-NULL frequency bounds from an
+    * equi-height histogram (histograms never see null rows — callers
+    * must bound the null group separately via ColumnStat.nullCount).
+    * Under the equi-height model, a value with frequency ≥ 2·height
+    * must fully own at least one bin (which then has ndv = 1 and
+    * lo = hi = that value); `provenMax` sums the heights of the
+    * longest run of such bins sharing one value — a lower bound on
+    * that key's frequency (it may extend partially into neighbor
+    * bins). `ceiling` = provenMax + 2·height bounds EVERY key's
     * frequency: a key owning m full bins carries < (m+2)·height rows,
-    * and a key owning none carries < 2·height. */
+    * and a key owning none carries < 2·height.
+    *
+    * These are model bounds, NOT hard guarantees: Spark builds bin
+    * endpoints with approx_percentile and per-bin ndv with HLL
+    * estimates, and catalog stats can be stale. Treat the pair as a
+    * high-confidence heuristic — [[useApprox]] only lets the ceiling
+    * pick the fragile (exact) arm with a [[histSafetyMargin]] on top,
+    * and a wrong `provenMax`-side decision merely picks the
+    * always-safe sketch arm. */
   private[graft] def histKeyFreqBounds(
       h: org.apache.spark.sql.catalyst.plans.logical.Histogram)
       : (Double, Double) = {
@@ -339,14 +378,21 @@ object Profile {
     // counts carried over), so the MAD is computed from the tiny table
     // — the corpus is scanned twice total (counts build + final fence
     // pass) instead of the three passes the exact and plain-sketch
-    // arms pay. localCheckpoint materializes the tiny table so the
-    // med and mad derivations don't re-run the corpus aggregate.
+    // arms pay. localCheckpoint materializes the tiny table once so
+    // the med and mad derivations don't re-run the corpus aggregate —
+    // LAZILY (r16): constructing the DataFrame must stay side-effect
+    // free (an eager checkpoint would run the full corpus aggregate
+    // at plan-build time). Tradeoff: checkpointing truncates lineage
+    // into executor-local storage, so a lost executor loses those
+    // blocks unrecoverably — accepted here because the counts table
+    // is distinct-values-sized (the preAggregate precondition) and
+    // recomputing it is the corpus scan this path exists to avoid.
     if (approx && preAggregate) {
       val g = groupCols.map(col)
       val counts = df
         .groupBy(g :+ col(valueCol).cast("double").as("_pv"): _*)
         .agg(count(lit(1)).as("_pw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       def wmed(in: DataFrame, v: Column, out: String): DataFrame =
         in.groupBy(g: _*).agg(graft.functions.KllQuantileEstimate(
           graft.functions.KllSketchWeightedAgg(v, col("_pw"), sketchK),

@@ -508,9 +508,12 @@ class ScaleOpsSpec extends SparkSpec {
     }
     wipe(new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:"), "ua_skew"))
-    // hot key 1: 50k rows; keys 2..101: 50 rows each → avg group ≈ 545
+    // hot key 1: 50k rows; keys 2..101: 1.5k rows each → avg group ≈
+    // 1,980 over n = 200k (the spread keys are wide enough that the
+    // ceiling-decided bound below clears the r16 2× safety margin
+    // while staying under the table's rowCount)
     spark.range(50000).selectExpr("1L AS k", "id % 7 AS j")
-      .unionAll(spark.range(5000).selectExpr("2 + id % 100 AS k", "id % 7 AS j"))
+      .unionAll(spark.range(150000).selectExpr("2 + id % 100 AS k", "id % 7 AS j"))
       .write.mode("overwrite").saveAsTable("ua_skew")
     val prevH = spark.conf.get("spark.sql.statistics.histogram.enabled")
     val prevC = spark.conf.get("spark.sql.cbo.enabled")
@@ -522,18 +525,21 @@ class ScaleOpsSpec extends SparkSpec {
       def jobs(): Int =
         spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
       val before = jobs()
-      // the average (545) sits far under the bound, but the equi-height
-      // histogram PROVES key 1 owns ≥ ~49.6k rows (full single-value
+      // the average (~2k) sits far under the bound, but the equi-height
+      // histogram shows key 1 owns ≥ ~49.6k rows (full single-value
       // bins) → sketch arm, zero jobs; the r14 dispatch said false here
       assert(Profile.useApprox(t, Seq("k"), 10000L))
       // and the ceiling direction: no key can exceed provenMax +
-      // 2·height ≈ 50.4k, so the exact arm is PROVEN safe at 51k —
-      // a skew-checked false, still zero jobs
-      assert(!Profile.useApprox(t, Seq("k"), 51000L))
+      // 2·height ≈ 51.2k, so at 110k — which clears the 2× safety
+      // margin the r16 dispatch demands before trusting an estimated
+      // histogram with the fragile arm — the exact arm is chosen: a
+      // skew-checked false, still zero jobs (the table's 200k rowCount
+      // keeps this out of the n ≤ bound shortcut)
+      assert(!Profile.useApprox(t, Seq("k"), 110000L))
       // multi-column grouping: every (k, j) group is a subset of its k
       // slice, so k's ceiling caps all groups — decided without the
       // correlation-blind distinct-count product (101·7 = 707 "groups")
-      assert(!Profile.useApprox(t, Seq("k", "j"), 51000L))
+      assert(!Profile.useApprox(t, Seq("k", "j"), 110000L))
       // stats also pick the sketch arm's EXECUTION STRATEGY: j has 7
       // ANALYZEd distinct values, so the Auto face flips the weighted
       // pre-aggregated path on by itself; k (101 values) also
@@ -555,6 +561,47 @@ class ScaleOpsSpec extends SparkSpec {
           k = 1.5, perGroupBound = 10000L)
         .queryExecution.optimizedPlan.toString
       assert(autoPlan.contains("kll_sketch_weighted_agg"), autoPlan.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", prevH)
+      spark.conf.set("spark.sql.cbo.enabled", prevC)
+    }
+  }
+
+  test("useApprox: a mostly-NULL grouping column cannot vouch for the exact arm") {
+    import graft.operators.Profile
+    // Histograms and distinctCount describe only NON-NULL values, but
+    // groupBy gives null keys their own group: 50k null rows + 100
+    // spread keys of 50 rows each. The non-null distribution is tame
+    // (ceiling ≈ 90 rows), so the pre-r16 dispatch decided `false`
+    // from the histogram — and handed the 50k-row null group to the
+    // exact arm's single-reducer buffer. nullCount is an exact ANALYZE
+    // count: at bound 10k it alone proves a hot group → true, zero jobs.
+    spark.sql("DROP TABLE IF EXISTS ua_nulls")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    wipe(new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "ua_nulls"))
+    spark.range(50000).selectExpr("CAST(NULL AS BIGINT) AS k")
+      .unionAll(spark.range(5000).selectExpr("1 + id % 100 AS k"))
+      .write.mode("overwrite").saveAsTable("ua_nulls")
+    val prevH = spark.conf.get("spark.sql.statistics.histogram.enabled")
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      spark.sql("ANALYZE TABLE ua_nulls COMPUTE STATISTICS FOR COLUMNS k")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val t = spark.table("ua_nulls")
+      def jobs(): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val before = jobs()
+      assert(Profile.useApprox(t, Seq("k"), 10000L),
+        "a 50k-row null group must dispatch the sketch arm")
+      // rowCount shortcut still rules when even one group can't exceed
+      // the bound (n = 55k ≤ 60k) — nulls included, so this stays sound
+      assert(!Profile.useApprox(t, Seq("k"), 60000L))
+      assert(jobs() === before,
+        s"null-aware dispatch ran ${jobs() - before} jobs")
     } finally {
       spark.conf.set("spark.sql.statistics.histogram.enabled", prevH)
       spark.conf.set("spark.sql.cbo.enabled", prevC)

@@ -193,6 +193,17 @@ class SketchOpsSpec extends SparkSpec {
           lit(0.5)))
       .as[Double].collect().head
     assert(gotN === exactAtRank(0.5), s"null-skipping weighted median $gotN")
+    // weight < 1 is a caller bug and must surface as the operator's
+    // own named error, not an opaque SketchesArgumentException from
+    // deep inside an executor task
+    val badEx = intercept[Throwable] {
+      Seq((1.0, 0L)).toDF("v", "w")
+        .agg(KllQuantileEstimate(KllSketchWeightedAgg(col("v"), col("w"), 800),
+          lit(0.5))).collect()
+    }
+    val msgs = Iterator.iterate(badEx)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("kll_sketch_weighted_agg") && msgs.contains(">= 1"), msgs)
     // merge-safety: partial weighted sketches built on shards answer
     // identically after a binary-mode merge (the map-side-combine path)
     val merged = wdf.repartition(7, col("v"))
