@@ -29,6 +29,13 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
+    // CBO on (r16): optimizedPlan.stats carries ANALYZEd column stats
+    // (attributeStats) only under the cost-based visitor, and the
+    // stats-driven dispatches (Profile.useApprox / lowCardinality —
+    // zero-job arm picks) are dead code without it. Tables without
+    // catalog stats keep size-only estimation, so raw-parquet plans
+    // are unchanged; [[Tables.ensureStats]] is what opts a table in.
+    .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Partition discovery above 32 dirs launches a Spark job with ONE

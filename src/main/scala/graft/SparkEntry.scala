@@ -206,6 +206,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // A10-auto: winsorize through the stats-driven dispatch on the
+    // ANALYZEd catalog face of lineitem (see q_mad_outliers_auto —
+    // same r16 rationale, same arm-independent band contract; the
+    // clamp invariant n_escaped = 0 holds under every arm).
+    "q_winsorize_auto" -> ((s, dir) => {
+      val li = s.table(Tables.ensureStats(s, dir, "lineitem",
+        Seq("l_returnflag", "l_quantity", "l_extendedprice")))
+      val w = Profile.winsorizeAuto(li, "l_extendedprice", Seq("l_returnflag"),
+        lo = 0.05, hi = 0.95, perGroupBound = 100000L)
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, array(0.04, 0.06, 0.94, 0.96))").as("e"))
+      w.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          min("_lo").as("_alo"), min("_hi").as("_ahi"),
+          sum(when(col("l_extendedprice_w") < col("_lo")
+            || col("l_extendedprice_w") > col("_hi"), 1L).otherwise(0L)).as("n_escaped"))
+        .join(ex, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("n_escaped"),
+          (col("_alo") >= col("e")(0) && col("_alo") <= col("e")(1)).as("lo_ok"),
+          (col("_ahi") >= col("e")(2) && col("_ahi") <= col("e")(3)).as("hi_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // A12: per-group robust (median/MAD) outlier fences on the
     // integer-valued quantity column — interpolated medians land on
     // exactly-representable halves, so every fence decision is
@@ -301,6 +324,41 @@ object SparkEntry {
       // contract below verifies the same ±1% rank bands either way
       val ap = Profile.madOutliers(li, "l_quantity", Seq("l_returnflag"),
         k = 1.5, approx = true, preAggregate = true)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          min("_med").as("_amed"), min("_mad").as("_amad"))
+      val exMed = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, array(0.49, 0.51))").as("em"))
+      val adev = li.join(ap.select("l_returnflag", "_amed"), "l_returnflag")
+        .withColumn("_adev", abs(col("l_quantity") - col("_amed")))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(_adev, array(0.49, 0.51))").as("ad"))
+      ap.join(exMed, "l_returnflag")
+        .join(adev, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("_amed") >= col("em")(0) && col("_amed") <= col("em")(1)).as("med_ok"),
+          (col("_amad") >= col("ad")(0) && col("_amad") <= col("ad")(1)).as("mad_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A12-auto: the DISPATCHED face on the stats-bearing catalog
+    // table (r16 — before this the CBO zero-job dispatch paths never
+    // fired outside test fixtures because the contract corpus was raw
+    // parquet with no column stats). Tables.ensureStats ANALYZEs
+    // lineitem once per session; madOutliersAuto then picks its arm
+    // from plan statistics alone: at sf0.01 rowCount ≤ the bound →
+    // exact arm; at sf0.1+ the distinct-product lower bound proves a
+    // hot group → KLL arm, and lowCardinality(l_quantity) flips the
+    // weighted pre-aggregation on — all with zero probe jobs
+    // (ScaleOpsSpec asserts the job count on this very table). The
+    // export is the same rank-band contract as the _approx twin, which
+    // holds under EITHER arm (the exact arm's median sits inside its
+    // own ±1% band by construction), so the oracle is arm-independent.
+    "q_mad_outliers_auto" -> ((s, dir) => {
+      val li = s.table(Tables.ensureStats(s, dir, "lineitem",
+        Seq("l_returnflag", "l_quantity", "l_extendedprice")))
+      val ap = Profile.madOutliersAuto(li, "l_quantity", Seq("l_returnflag"),
+        k = 1.5, perGroupBound = 100000L)
         .groupBy("l_returnflag").agg(
           count(lit(1)).as("n"),
           min("_med").as("_amed"), min("_mad").as("_amad"))
@@ -2559,6 +2617,19 @@ object SparkEntry {
     "q_mad_outliers_approx" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  TRUE AS med_ok, TRUE AS mad_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the Auto face's band contract is arm-independent (exact or
+    // sketch, the bounds sit inside their own ±1% rank bands), so the
+    // oracle is the same pinned-TRUE shape as the _approx twin
+    "q_mad_outliers_auto" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS med_ok, TRUE AS mad_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_winsorize_auto" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS n_escaped, TRUE AS lo_ok, TRUE AS hi_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a8_percentiles" ->

@@ -137,6 +137,12 @@ object StressSmoke {
     // round 15: the q_join_size representation-bisect probes (same
     // per-key-counts join shape, single-scalar output renderings)
     "q_join_size_bigint", "q_join_size_str",
+    // round 16: the stats-dispatched Auto faces — at replicated scale
+    // the CBO stats (re-ANALYZEd on the replica workdir by
+    // ensureStats) must pick the sketch arm + weighted preAgg, so the
+    // probe measures the dispatcher's choice end-to-end against the
+    // manual arms it must match or beat
+    "q_mad_outliers_auto", "q_winsorize_auto",
     // theta overlap: per-slice sketch aggregation over the replicated
     // orders table; the pairwise intersection stays O(slices²) sketch
     // rows no matter the scale (the exact verification arm's distinct

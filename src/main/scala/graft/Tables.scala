@@ -143,4 +143,35 @@ object Tables {
     }
     (facts, days)
   }
+
+  /** Catalog-registered face of a testdata table with ANALYZEd column
+    * statistics — what makes the stats-driven dispatches
+    * ([[graft.operators.Profile.useApprox]] / `lowCardinality`) fire
+    * on the CONTRACT corpus itself, not only on test fixtures (r16;
+    * before this, the bench tables were raw parquet with no catalog
+    * stats, so every dispatch paid the probe aggregate and the
+    * zero-job path was production dead code). The external table
+    * points at the SAME parquet files (no copy); ANALYZE … FOR
+    * COLUMNS scans once per session (the in-memory catalog doesn't
+    * persist) and is paid where `ensureTpchBuckets`' write is — in
+    * the calling query's first rep, outside the benched median. A
+    * 100 TB warehouse holds these stats in its metastore once,
+    * refreshed on ingest — exactly this call's contract.
+    * Histograms are computed (equi-height, for the ceiling/hot-key
+    * bounds) regardless of the session default. Returns the catalog
+    * table name; read it with `spark.table(...)`. */
+  def ensureStats(spark: SparkSession, sfDir: String, table: String,
+                  cols: Seq[String]): String = synchronized {
+    val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+    val name = s"graft_stats_${tag}_$table"
+    if (!spark.catalog.tableExists(name)) {
+      spark.catalog.createTable(name, s"$sfDir/$table.parquet", "parquet")
+      val prev = spark.conf.get("spark.sql.statistics.histogram.enabled")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      try spark.sql(
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+      finally spark.conf.set("spark.sql.statistics.histogram.enabled", prev)
+    }
+    name
+  }
 }

@@ -567,6 +567,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("stats dispatch fires on the contract corpus itself via Tables.ensureStats") {
+    import graft.operators.Profile
+    // r16: before ensureStats the bench corpus was raw parquet with no
+    // catalog stats, so the zero-job CBO paths only ever ran on test
+    // fixtures. This registers + ANALYZEs the REAL lineitem (same call
+    // the q_*_auto contract queries make) and proves the dispatch and
+    // the strategy pick are stats-only on it.
+    val lt = Tables.ensureStats(spark, "/root/testdata/sf0.01", "lineitem",
+      Seq("l_returnflag", "l_quantity", "l_extendedprice"))
+    val t = spark.table(lt)
+    def jobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val before = jobs()
+    // ~60k rows, 3 flags → ~20k rows/group: the distinct-product lower
+    // bound proves a hot group at 2k, the rowCount shortcut proves
+    // safety at 100k — both from the plan alone
+    assert(Profile.useApprox(t, Seq("l_returnflag"), 2000L))
+    assert(!Profile.useApprox(t, Seq("l_returnflag"), 100000L))
+    // strategy pick: l_quantity is ~50 ANALYZEd distinct values → the
+    // weighted pre-aggregation qualifies; l_extendedprice (~tens of
+    // thousands) must NOT
+    assert(Profile.lowCardinality(t, "l_quantity"))
+    assert(!Profile.lowCardinality(t, "l_extendedprice"))
+    assert(jobs() === before,
+      s"contract-corpus stats dispatch ran ${jobs() - before} jobs")
+    // and the Auto face composes both: sketch arm + weighted preAgg,
+    // picked from stats alone on the benched table
+    val autoPlan = Profile.madOutliersAuto(t, "l_quantity", Seq("l_returnflag"),
+        k = 1.5, perGroupBound = 2000L)
+      .queryExecution.optimizedPlan.toString
+    assert(autoPlan.contains("kll_sketch_weighted_agg"), autoPlan.take(1200))
+    // a second call reuses the session's catalog entry (no re-ANALYZE)
+    assert(Tables.ensureStats(spark, "/root/testdata/sf0.01", "lineitem",
+      Seq("l_returnflag", "l_quantity", "l_extendedprice")) === lt)
+  }
+
   test("useApprox: a mostly-NULL grouping column cannot vouch for the exact arm") {
     import graft.operators.Profile
     // Histograms and distinctCount describe only NON-NULL values, but
