@@ -254,8 +254,15 @@ object StressSmoke {
     "q_dedup_minhash_inc" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val rid = pmod(col("doc_id"), lit(OFF))
+      // checkpointed like the canonical query: the ledger feeds two
+      // consumers (banding + history scoring) — unpersisted, the
+      // history shingle→minhash pipeline ran TWICE per rep, which the
+      // r16 MinhashSplit leg profile measured as ~4 s of the ~20 s
+      // x100 total (in production the ledger is a persisted parquet
+      // table, so the rebuild isn't the operator's cost either way)
       val ledger = Dedup.minhashLedgerOf(
         docs.filter(rid < 250), "doc_id", "text", w = 3)
+        .localCheckpoint()
       Dedup.applyMinhashIncremental(
         docs.filter(rid >= 250 && rid < 500), "doc_id", "text",
         ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)

@@ -427,6 +427,25 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Probe access ([[graft.MinhashSplit]]): the banded candidate join
+    * + distinct as a standalone leg — exactly the candHist stage of
+    * [[applyMinhashIncremental]]. */
+  private[graft] def bandCandidates(sigsA: DataFrame, sigsB: DataFrame,
+                                    numHashes: Int, bands: Int): DataFrame = {
+    val a = detBands(sigsA, numHashes, bands)
+    val b = detBands(sigsB, numHashes, bands)
+    a.select(col("doc").as("doc_a"), col("band"), col("key"))
+      .join(b.select(col("doc").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Probe access ([[graft.MinhashSplit]]): the signature-agreement
+    * scorer as a standalone leg. */
+  private[graft] def scoreCandidates(cand: DataFrame, sigsA: DataFrame,
+                                     sigsB: DataFrame, numHashes: Int): DataFrame =
+    estimateScored(cand, sigsA, sigsB, numHashes)
+
   /** Score candidate pairs by signature-component agreement (the
     * [[EstimateVerify]] kernel), joining wide signature tables keyed
     * `doc`. */
@@ -487,18 +506,22 @@ object Dedup {
     // re-runs the shingle→fingerprint→16-way-min pipeline.
     val newSigs = minhashLedgerOf(newDocs, idCol, textCol, w, numHashes)
       .localCheckpoint()
-    val nb = detBands(newSigs, numHashes, bands)
-    val hb = detBands(ledger, numHashes, bands)
-    val candHist = nb.select(col("doc").as("doc_a"), col("band"), col("key"))
-      .join(hb.select(col("doc").as("doc_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .select("doc_a", "doc_b").distinct()
+    val candHist = bandCandidates(newSigs, ledger, numHashes, bands)
     val dupVsHistory = estimateScored(candHist, newSigs, ledger, numHashes)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as(idCol)).distinct()
+    // fresh (the history-survivor batch) feeds TWO consumers (the
+    // survivor-signature semi-join and the final cluster-apply) and
+    // freshSigs feeds THREE (self banding + both sides of self
+    // scoring) — unpersisted, the history anti-join re-ran per
+    // consumer (the r16 MinhashSplit leg profile measured the gap as
+    // ~1/3 of the x100 total). Both are batch-bounded like newSigs;
+    // lazy checkpoints keep construction side-effect-free.
     val fresh = newDocs.join(dupVsHistory, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     val freshSigs = newSigs
       .join(fresh.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+      .localCheckpoint(eager = false)
     val fb = detBands(freshSigs, numHashes, bands)
     val candSelf = fb.select(col("doc").as("doc_a"), col("band"), col("key"))
       .join(fb.select(col("doc").as("doc_b"), col("band"), col("key")),
