@@ -66,8 +66,40 @@ bench() { # $1 out
   log "bench done rc=$? out=$1"
 }
 
+benchPrev() { # $1 out — PRIOR-round-head bench from the detached
+  # worktree, cwd inside it so Timing.headSha stamps the prior sha
+  log "bench(prev $PREV_SHA) start out=$1"
+  (cd "$PREV_WT" && \
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT=$1 \
+    java $JOPTS $COMMON -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench) \
+    >> /tmp/r${R}_bench_stdout.log 2>> /tmp/r${R}_bench_stderr.log
+  log "bench(prev) done rc=$? out=$1"
+}
+
 : > "$LOG"
 sbt -batch compile >> "$LOG" 2>&1 || { log "COMPILE FAILED"; exit 1; }
+
+# Interleaved A/B setup (r15 verdict item 6): same-HEAD fresh totals
+# spanned 110-138 s in r15, so fresh-vs-fresh mostly measured which VM
+# window each side landed in. Build the PRIOR round's bench HEAD (the
+# sha its BENCH_LOCAL artifact stamps) in a detached worktree and
+# alternate prev/curr bench runs P/C/P/C/P/C — contention windows then
+# hit both sides, and bench_regress compares per-query interleaved
+# medians with a variance figure.
+PREV_SHA=""
+PREV_WT=""
+if [ -f "BENCH_LOCAL_r${PREV}.json" ]; then
+  PREV_SHA=$(python3 -c "import json;print(json.load(open('BENCH_LOCAL_r${PREV}.json')).get('head_sha') or '')" 2>/dev/null)
+fi
+if [ -n "$PREV_SHA" ] && git cat-file -e "${PREV_SHA}^{commit}" 2>/dev/null; then
+  PREV_WT=/tmp/graft_prevhead_${PREV_SHA:0:10}
+  if [ ! -f "$PREV_WT/target/scala-2.13/classes/graft/Bench.class" ]; then
+    log "building prior head $PREV_SHA in $PREV_WT"
+    { git worktree add --force --detach "$PREV_WT" "$PREV_SHA" && \
+      (cd "$PREV_WT" && sbt -batch compile); } >> "$LOG" 2>&1 \
+      || { log "prev-head build FAILED — falling back to curr-only bench"; PREV_WT=""; }
+  fi
+fi
 
 stress 1   /tmp/graft_sf1shape_r1  /tmp/r${R}_1x_a.json
 stress 1   /tmp/graft_sf1shape_r1  /tmp/r${R}_1x_b.json
@@ -75,9 +107,18 @@ stress 10  /tmp/graft_sf1shape     /tmp/r${R}_10x_a.json
 stress 10  /tmp/graft_sf1shape     /tmp/r${R}_10x_b.json
 stress 100 /tmp/graft_sf100shape   /tmp/r${R}_100x_a.json "$PROBES"
 stress 100 /tmp/graft_sf100shape   /tmp/r${R}_100x_b.json "$PROBES"
-bench /tmp/r${R}_bench1.json
-bench /tmp/r${R}_bench2.json
-bench /tmp/r${R}_bench3.json
+if [ -n "$PREV_WT" ]; then
+  benchPrev /tmp/r${R}_prev1.json
+  bench /tmp/r${R}_bench1.json
+  benchPrev /tmp/r${R}_prev2.json
+  bench /tmp/r${R}_bench2.json
+  benchPrev /tmp/r${R}_prev3.json
+  bench /tmp/r${R}_bench3.json
+else
+  bench /tmp/r${R}_bench1.json
+  bench /tmp/r${R}_bench2.json
+  bench /tmp/r${R}_bench3.json
+fi
 
 log "merging artifacts"
 python3 tools/bench_merge.py --fresh /tmp/r${R}_bench1.json \
@@ -91,8 +132,15 @@ python3 tools/stress_merge.py \
   --x100 /tmp/r${R}_100x_a.json,/tmp/r${R}_100x_b.json \
   >> "$LOG" 2>&1 || log "stress_merge FAILED"
 if [ -f "BENCH_LOCAL_r${PREV}.json" ]; then
-  python3 tools/bench_regress.py BENCH_LOCAL_r${PREV}.json BENCH_LOCAL_r${NN}.json \
-    --out BENCH_REGRESS_r${NN}.json >> "$LOG" 2>&1 || log "bench_regress FAILED"
+  if [ -n "$PREV_WT" ]; then
+    python3 tools/bench_regress.py BENCH_LOCAL_r${PREV}.json BENCH_LOCAL_r${NN}.json \
+      --prev-runs /tmp/r${R}_prev1.json,/tmp/r${R}_prev2.json,/tmp/r${R}_prev3.json \
+      --curr-runs /tmp/r${R}_bench1.json,/tmp/r${R}_bench2.json,/tmp/r${R}_bench3.json \
+      --out BENCH_REGRESS_r${NN}.json >> "$LOG" 2>&1 || log "bench_regress FAILED"
+  else
+    python3 tools/bench_regress.py BENCH_LOCAL_r${PREV}.json BENCH_LOCAL_r${NN}.json \
+      --out BENCH_REGRESS_r${NN}.json >> "$LOG" 2>&1 || log "bench_regress FAILED"
+  fi
 fi
 python3 tools/leakcheck_local.py >> "$LOG" 2>&1 || log "leakcheck FAILED"
 log "CAMPAIGN COMPLETE"
