@@ -11,7 +11,7 @@
 #   1. 2x StressSmoke at 1 replica   (~10 min each at sf0.1)
 #   2. 2x StressSmoke at 10 replicas (~20 min each)
 #   3. 2x StressSmoke x100 spot-probes over $PROBES (~8-15 min each)
-#   4. 3x full graft.Bench           (~7 min each)
+#   4. interleaved prev-head/curr-head Bench P/C/P/C/P/C (~7 min each)
 #   5. merges: bench_merge (min over runs + one fresh headline),
 #      stress_merge (1x/10x/x100), bench_regress vs the prior round,
 #      leakcheck_local
