@@ -133,6 +133,12 @@ def main(sf_dir, out_dir):
         # even when the query passes, and decimal values are additionally
         # compared under their string rendering — the second
         # canonicalization a foreign hasher might use.
+        # RULE (settled by the r15 representation bisect, probe retired
+        # r16): no query may EXPORT a decimal column. Decimal math stays
+        # internal; render as VARCHAR at the boundary (or BIGINT when
+        # provably < 2^63) — both proved hash-stable where DECIMAL(38,0)
+        # was not. Any DECIMAL_RISK tag below is therefore a bug to fix,
+        # not a tolerance to note.
         dec_cols = [c for c in sn if "decimal" in spark_types[c]]
         if dec_cols:
             idx = [i for i, c in enumerate(sn) if "decimal" in spark_types[c]]
