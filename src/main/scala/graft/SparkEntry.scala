@@ -1495,6 +1495,28 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Equi-depth through the stats-driven dispatch (r16 — completes
+    // the Auto family: mad/winsorize/equidepth all pick exact-vs-KLL
+    // and the weighted-preAgg strategy from catalog stats, zero-job
+    // on the ANALYZEd table). Sketch boundaries are engine-specific,
+    // so the export is arm-independent: each of the 4 bins must hold
+    // 25% ± 5% of the rows (the band covers KLL rank error ≤1% plus
+    // the integer-tie mass ~2% a boundary value can carry — the exact
+    // arm sits inside it by construction), pinned TRUE by the oracle;
+    // n_total anchors the contract to the exact row count.
+    "q_equidepth_auto" -> ((s, dir) => {
+      val li = s.table(Tables.ensureStats(s, dir, "lineitem",
+        Seq("l_returnflag", "l_quantity", "l_extendedprice")))
+      val ed = Profile.equidepthAuto(li, "l_quantity", bins = 4,
+        perGroupBound = 100000L)
+      ed.crossJoin(broadcast(ed.agg(sum("n").as("_tot"))))
+        .select(col("bin"),
+          (abs(col("n").cast("double") / col("_tot").cast("double") - 0.25)
+            <= 0.05).as("share_ok"),
+          col("_tot").cast("long").as("n_total"))
+        .orderBy("bin")
+    }),
+
     // Join-key skew diagnostic: the 5 heaviest l_suppkey values with
     // their over-uniform factor — the pre-flight for salting/AQE-skew
     // decisions on a planned supplier-keyed join.
@@ -3460,6 +3482,13 @@ object SparkEntry {
         |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(0.0 + bucket * 5000.0 AS DOUBLE) AS lo_edge
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // arm-independent band contract (see the query comment): bin ids
+    // and the pinned share band, anchored by the exact row count
+    "q_equidepth_auto" ->
+      """SELECT CAST(t.bin AS INTEGER) AS bin, TRUE AS share_ok,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total
+        |FROM (VALUES (0), (1), (2), (3)) AS t(bin) ORDER BY bin""".stripMargin,
 
     // quantile_cont matches Spark's interpolated percentile (the q_a8
     // parity); bin = count of boundaries strictly below the value

@@ -142,7 +142,7 @@ object StressSmoke {
     // ensureStats) must pick the sketch arm + weighted preAgg, so the
     // probe measures the dispatcher's choice end-to-end against the
     // manual arms it must match or beat
-    "q_mad_outliers_auto", "q_winsorize_auto",
+    "q_mad_outliers_auto", "q_winsorize_auto", "q_equidepth_auto",
     // theta overlap: per-slice sketch aggregation over the replicated
     // orders table; the pairwise intersection stays O(slices²) sketch
     // rows no matter the scale (the exact verification arm's distinct

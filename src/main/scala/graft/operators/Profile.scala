@@ -513,6 +513,22 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** [[equidepth]] with the arm picked by [[useApprox]] — the global
+    * (ungrouped) member of the Auto family (r16, completing
+    * [[winsorizeAuto]]/[[madOutliersAuto]]): the exact percentile
+    * buffers EVERY value in one reducer, so the bound is against the
+    * table size (one global group); the sketch arm's weighted
+    * pre-aggregation strategy comes from [[lowCardinality]] exactly as
+    * in the grouped faces. On a stats-bearing catalog table every
+    * decision is zero-job. */
+  def equidepthAuto(df: DataFrame, valueCol: String, bins: Int,
+                    sketchK: Int = 800, perGroupBound: Long = 1000000L,
+                    preAggregate: Boolean = false): DataFrame = {
+    val approx = useApprox(df, Nil, perGroupBound)
+    equidepth(df, valueCol, bins, approx = approx, sketchK = sketchK,
+      preAggregate = preAggregate || (approx && lowCardinality(df, valueCol)))
+  }
+
   /** Join-key skew diagnostic: the `topK` heaviest values of `keyCol`
     * with their share of the table — the pre-flight check that decides
     * whether a planned join/aggregation on this key needs salting

@@ -224,14 +224,17 @@ class PlanSpec extends SparkSpec {
     // q_dsir_select (1-row model totals + 1-row median threshold).
     // round 13 additions of the same 1-row broadcast-scalar class:
     // q_equidepth (1-row boundary array), q_key_skew (1-row key
-    // stats), q_text_pmi (1-row bigram total). q_theta_overlap is
+    // stats), q_text_pmi (1-row bigram total); r16: q_equidepth_auto
+    // (the same 1-row boundary array through the dispatched arm, plus
+    // the export's 1-row bin-total anchor). q_theta_overlap is
     // slice-pairs-by-design: both join sides are per-slice AGGREGATED
     // sketch rows (∝ #slices, never corpus rows), paired with an
     // inequality — O(slices²) on tables that are tiny by construction.
     val boundedBroadcastByDesign =
       Set("q_sim_ivf", "q_tpch_q22", "q_tpch_q11", "q_lm_score",
         "q_domain_shift", "q_dsir_select", "q_dsir_select_approx",
-        "q_equidepth", "q_key_skew", "q_text_pmi", "q_theta_overlap")
+        "q_equidepth", "q_equidepth_auto", "q_key_skew", "q_text_pmi",
+        "q_theta_overlap")
     val allowed = allPairsByDesign ++ boundedBroadcastByDesign
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = physicalPlan(name)

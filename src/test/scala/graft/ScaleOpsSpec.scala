@@ -598,6 +598,16 @@ class ScaleOpsSpec extends SparkSpec {
         k = 1.5, perGroupBound = 2000L)
       .queryExecution.optimizedPlan.toString
     assert(autoPlan.contains("kll_sketch_weighted_agg"), autoPlan.take(1200))
+    // the ungrouped face dispatches on table size and picks the same
+    // weighted strategy (r16 — the Auto family's third member)
+    val edPlan = Profile.equidepthAuto(t, "l_quantity", bins = 4,
+        perGroupBound = 2000L)
+      .queryExecution.optimizedPlan.toString
+    assert(edPlan.contains("kll_sketch_weighted_agg"), edPlan.take(1200))
+    // and under a bound the table can't exceed, the exact arm
+    assert(!Profile.equidepthAuto(t, "l_quantity", bins = 4,
+        perGroupBound = 100000L)
+      .queryExecution.optimizedPlan.toString.contains("kll_sketch"))
     // a second call reuses the session's catalog entry (no re-ANALYZE)
     assert(Tables.ensureStats(spark, "/root/testdata/sf0.01", "lineitem",
       Seq("l_returnflag", "l_quantity", "l_extendedprice")) === lt)
