@@ -5,11 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, shuffle machinery, parquet footers) so the
     // first measured query isn't charged ~7 s of one-time startup
@@ -22,9 +22,26 @@ object Bench {
     // stay comparable.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    // Heavy-tail rep boost (r17 — VERDICT r16 item 3): the interleaved
+    // regression gate's per-query spread was worst on the >1.5 s tail
+    // (p90 rel spread 0.635 at r16), where one contention window in 3
+    // reps moves the in-run median. Queries whose base median exceeds
+    // SPARK_GRAFT_BENCH_HEAVY_SEC get topped up to
+    // SPARK_GRAFT_BENCH_HEAVY_REPS total reps, with the median taken
+    // over the POOLED samples (not a median of medians). Defaults keep
+    // the artifact's methodology unchanged unless the campaign opts in.
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "1.5").toDouble
+    val heavyReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_REPS", reps.toString).toInt
     val results = SparkEntry.queries.toSeq.filter(q => only(q._1))
       .sortBy(_._1).map { case (name, fn) =>
-        val m = Timing.medianNoopWrite(name, fn, spark, sfDir, reps)
+        val base = Timing.sampleNoopWrite(name, fn, spark, sfDir, reps)
+        val m =
+          if (base.ok && heavyReps > reps && base.medianSec > heavySec) {
+            val extra = Timing.sampleNoopWrite(name, fn, spark, sfDir,
+              heavyReps - reps)
+            Timing.Sampled(base.times ++ extra.times,
+              base.ok && extra.ok, base.rows).toMeasured
+          } else base.toMeasured
         (name, m.medianSec, m.ok)
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -21,11 +21,11 @@ object BucketCalibrate {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1shape")
     val counts = (if (args.length > 1) args(1) else "8,32,128")
       .split(",").map(_.trim.toInt).toSeq
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 200))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; math.rint((System.nanoTime() - t0) / 1e7) / 100

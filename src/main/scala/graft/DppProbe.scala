@@ -34,11 +34,11 @@ object DppProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPLICAS", "10").toInt
     val work = if (args.length > 1) args(1) else s"/tmp/graft_dppshape_x$reps"
     val timingReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 200))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$work/events.parquet").exists()) {
       val k = explode(sequence(lit(0), lit(reps - 1))).as("k")

@@ -17,6 +17,14 @@ import graft.operators.Exact
   *    FileStatusCache makes later reads cheap).
   *  - `listing_warm_sec` — the same read with a warm cache (what the
   *    steady-state probe reps actually pay on the plan side).
+  *  - `listing_driver_sec` / `listing_job_sec` — the discovery A/B,
+  *    each on a cache-INVALIDATED handle (refreshByPath drops the
+  *    shared FileStatusCache entries first — r16 ADVICE: a warm-cache
+  *    reading cannot observe the machinery): the same relist done
+  *    driver-side (threshold above the dir count) vs as the
+  *    one-task-per-dir Spark listing job (threshold 1). Their gap is
+  *    the per-task overhead [[GraftSession.localFs]]'s threshold
+  *    exists to avoid on a local FS.
   *  - `dpp_exec_sec` — the benched dayslice body (dim join → dynamic
   *    pruning), median over warm reps.
   *  - `static_exec_sec` — the identical aggregate with the day filter
@@ -43,11 +51,11 @@ object DppSplit {
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_sf100shape")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 32))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
 
@@ -74,14 +82,28 @@ object DppSplit {
     val (listingWarm, _) = secs {
       spark.read.parquet(factsPath).queryExecution.executedPlan
     }
-    // same listing with parallel discovery forced driver-side: is the
-    // cost the bytes listed, or the 1-task-per-dir listing JOB?
-    val prevThresh = spark.conf.get("spark.sql.sources.parallelPartitionDiscovery.threshold")
-    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
-    val (listingSeq, _) = secs {
+    // The job-vs-driver listing A/B (r16 ADVICE: the old listing_seq
+    // leg ran cache-warm at a threshold the session already exceeded,
+    // so it measured nothing). Each arm first drops the shared
+    // FileStatusCache entries for this root (refreshByPath), so the
+    // timed read re-lists for real; the DRIVER arm raises the
+    // threshold above the dir count, the JOB arm lowers it to 1 so
+    // the recursive child listing launches the one-task-per-dir job.
+    val threshKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevThresh = spark.conf.get(threshKey)
+    spark.catalog.refreshByPath(factsPath)
+    spark.conf.set(threshKey, "1000000")
+    val (listingDriver, _) = secs {
       spark.read.parquet(factsPath).queryExecution.executedPlan
     }
-    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", prevThresh)
+    spark.catalog.refreshByPath(factsPath)
+    spark.conf.set(threshKey, "1")
+    val (listingJob, _) = secs {
+      spark.read.parquet(factsPath).queryExecution.executedPlan
+    }
+    spark.conf.set(threshKey, prevThresh)
+    // re-warm the cache so the exec legs below aren't charged a relist
+    spark.read.parquet(factsPath).queryExecution.executedPlan
 
     val nDayDirs = Option(new java.io.File(factsPath).listFiles())
       .getOrElse(Array.empty[java.io.File]).count(_.getName.startsWith("day="))
@@ -105,7 +127,9 @@ object DppSplit {
     val json =
       f"""{"metric":"dpp_split","unit":"sec","work":"$work","reps":$reps,""" +
         f""""day_dirs":$nDayDirs,"listing_cold_sec":$listingCold%.3f,""" +
-        f""""listing_warm_sec":$listingWarm%.3f,"listing_seq_sec":$listingSeq%.3f,""" +
+        f""""listing_warm_sec":$listingWarm%.3f,""" +
+        f""""listing_driver_sec":$listingDriver%.3f,""" +
+        f""""listing_job_sec":$listingJob%.3f,""" +
         f""""dpp_exec_sec":$dppExec%.3f,""" +
         f""""static_exec_sec":$staticExec%.3f,"fullscan_sec":$fullscan%.3f}"""
     println(json)

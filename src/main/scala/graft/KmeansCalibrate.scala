@@ -22,11 +22,11 @@ object KmeansCalibrate {
     val ks = (if (args.length > 1) args(1) else "8,64,256,1024")
       .split(",").map(_.trim.toInt).toSeq
     val litCap = sys.env.getOrElse("SPARK_GRAFT_KMEANS_LITCAP", "512").toInt
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 32))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables(spark, sfDir, "embeddings")
     e.count() // warm scan

@@ -29,11 +29,11 @@ object MinhashSplit {
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_sf100shape")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 200))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
@@ -98,7 +98,10 @@ object MinhashSplit {
         .write.format("noop").mode("overwrite").save()
     }
     val full = medianOf {
-      val l = buildLedger()
+      // checkpointed to match the stress probe this leg decomposes
+      // (r16 ADVICE: without it, full_sec timed the pre-fix shape and
+      // could not reconcile with the sum of the individual legs)
+      val l = buildLedger().localCheckpoint()
       Dedup.applyMinhashIncremental(
         docs.filter(rid >= 250 && rid < 500), "doc_id", "text",
         l, w = 3, numHashes = 16, bands = 8, threshold = 0.05)

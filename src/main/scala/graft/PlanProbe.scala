@@ -16,11 +16,11 @@ object PlanProbe {
     val name = args.headOption.getOrElse(
       sys.error("usage: PlanProbe <queryName> [sfDir]"))
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", 32))
-      .getOrCreate()
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     // drive THIS dataset's own QueryExecution: a write (or .rdd /

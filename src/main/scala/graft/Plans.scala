@@ -87,14 +87,19 @@ object Plans {
     // A-NOT-B's against them — sketch-row joins only). q_winsorize_approx
     // is here because r14 swapped its GK arm for ONE kll_sketch_agg per
     // group feeding both bounds.
-    "q_agg_state_full", "q_theta_novelty", "q_winsorize_approx")
+    "q_agg_state_full", "q_theta_novelty", "q_winsorize_approx",
+    // round 17: the stats-dispatched Auto faces — the plan must show
+    // the arm the zero-job CBO dispatch picked on the ANALYZEd catalog
+    // table (at this sf the rowCount shortcut proves the exact arm;
+    // no probe stage either way)
+    "q_mad_outliers_auto", "q_winsorize_auto", "q_equidepth_auto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "PLANS.md"
-    val spark = GraftSession.configure(
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder().master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
+        .config("spark.sql.shuffle.partitions", "4"))).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val mode = ExplainMode.fromString("formatted")
     val sections = headline.map { name =>
@@ -105,7 +110,8 @@ object Plans {
     val doc =
       s"""# PLANS — physical plans of the headline queries
          |
-         |Generated by `graft.Plans` at sf0.001 (plan shape is scale-invariant;
+         |Generated by `graft.Plans` at HEAD `${Timing.headSha()}`.
+         |Generated at sf0.001 (plan shape is scale-invariant;
          |AQE may further coalesce/convert at runtime). Things to look for:
          |`PushedFilters`/`ReadSchema` on scans (pushdown + pruning),
          |`BroadcastHashJoin` on dim joins, `partial_*` aggregate modes

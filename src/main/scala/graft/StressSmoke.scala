@@ -125,6 +125,9 @@ object StressSmoke {
     // names, so the twins' round-over-round ratio series stays
     // comparable.
     "q_mad_sketch_raw", "q_dsir_sketch_raw",
+    // round 17: the plain (un-pre-aggregated) sketch arm — see the
+    // override's comment; completes the committed three-arm MAD series
+    "q_mad_plain_raw",
     // round 13 (second wave): mergeable-sketch rollup and incremental
     // state maintenance — both plain map-side-combinable aggregates
     // over the replicated star schema (output is per-key, flat), so
@@ -178,6 +181,25 @@ object StressSmoke {
       graft.operators.Profile.madOutliers(Tables(s, dir, "lineitem"),
         "l_quantity", Seq("l_returnflag"), k = 1.5, approx = true,
         preAggregate = true)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          min("_med").as("med"), min("_mad").as("mad_val"))
+        .orderBy("l_returnflag")
+    }),
+    // the PLAIN sketch arm (approx without the weighted pre-
+    // aggregation) as its own committed probe row (r17 — VERDICT r16
+    // item 2): with q_mad_outliers (exact) and q_mad_sketch_raw
+    // (preAgg sketch) this completes the three-arm MAD family in ONE
+    // artifact, so COVERAGE's arm-comparison narrative cites committed
+    // interleaved-median numbers instead of a one-off paired run. The
+    // registered q_mad_outliers_approx twin is NOT this measurement:
+    // its x100 cost is dominated by the oracle's exact-percentile
+    // bound-verification legs, which a production run never executes.
+    "q_mad_plain_raw" -> ((s, dir) => {
+      graft.operators.Profile.madOutliers(Tables(s, dir, "lineitem"),
+        "l_quantity", Seq("l_returnflag"), k = 1.5, approx = true,
+        preAggregate = false)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
@@ -439,13 +461,17 @@ object StressSmoke {
     val work = if (args.length > 1) args(1) else "/tmp/graft_sf1shape"
     val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPLICAS", "10").toInt
     val timingReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = GraftSession.configure(
+    // cluster-like shuffle width by default: validates that nothing
+    // depends on the bench's cozy 32 partitions. Overridable so the
+    // grower-geometry A/B (r16 VERDICT item 6) can re-measure the same
+    // queries at the bench width and separate fixed per-stage task
+    // overhead from actual scan/shuffle growth.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_STRESS_SHUFFLE", "200").toInt
+    val spark = GraftSession.localFs(GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
-        // cluster-like shuffle width: validates that nothing depends on
-        // the bench's cozy 32 partitions
-        .config("spark.sql.shuffle.partitions", 200))
-      .getOrCreate()
+        .config("spark.sql.shuffle.partitions", shuffleParts))
+      ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$work/lineitem.parquet").exists()) {
       val t0 = System.nanoTime()
@@ -489,7 +515,7 @@ object StressSmoke {
     val qs = results.map { case (n, (v, _)) => s"\"" + n + "\":" + v }.mkString("{", ",", "}")
     val rs = results.map { case (n, (_, r)) => s"\"" + n + "\":" + r }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"out_rows":$rs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":200,"head_sha":"${Timing.headSha()}"}"""
+    val json = s"""{"metric":"stress_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"out_rows":$rs,"failed":$fl,"sf":"${src}x$reps","shuffle_partitions":$shuffleParts,"head_sha":"${Timing.headSha()}"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

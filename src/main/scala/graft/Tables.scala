@@ -160,17 +160,35 @@ object Tables {
     * Histograms are computed (equi-height, for the ceiling/hot-key
     * bounds) regardless of the session default. Returns the catalog
     * table name; read it with `spark.table(...)`. */
+  /** Columns already ANALYZEd per (session, catalog-table) — the
+    * exists-check alone is not enough (r16 ADVICE): a later caller
+    * asking for a column the first caller didn't name would silently
+    * get a table with no stats for it, quietly degrading the zero-job
+    * dispatch back to the probe path. ANALYZE … FOR COLUMNS only
+    * touches the named columns' stats, so topping up the missing ones
+    * is both correct and the cheapest re-scan. Keyed by the session's
+    * identity because the in-memory catalog is per-session. */
+  private val analyzedCols =
+    scala.collection.mutable.Map.empty[(Int, String), Set[String]]
+
   def ensureStats(spark: SparkSession, sfDir: String, table: String,
                   cols: Seq[String]): String = synchronized {
     val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
     val name = s"graft_stats_${tag}_$table"
+    val key = (System.identityHashCode(spark), name)
     if (!spark.catalog.tableExists(name)) {
       spark.catalog.createTable(name, s"$sfDir/$table.parquet", "parquet")
+      analyzedCols.remove(key)
+    }
+    val done = analyzedCols.getOrElse(key, Set.empty)
+    val missing = cols.filterNot(done)
+    if (missing.nonEmpty) {
       val prev = spark.conf.get("spark.sql.statistics.histogram.enabled")
       spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
       try spark.sql(
-        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${missing.mkString(", ")}")
       finally spark.conf.set("spark.sql.statistics.histogram.enabled", prev)
+      analyzedCols(key) = done ++ missing
     }
     name
   }

@@ -29,6 +29,16 @@ object Timing {
     * rep succeeded, and the output cardinality (−1 unless observed). */
   case class Measured(medianSec: Double, ok: Boolean, rows: Long)
 
+  /** Raw per-rep samples behind [[Measured]] — for callers that pool
+    * samples across batches (Bench's heavy-tail extra reps, r17) so
+    * the median is over EVERY rep taken, not a median of medians. */
+  case class Sampled(times: Seq[Double], ok: Boolean, rows: Long) {
+    def medianSec: Double = {
+      val s = times.sorted; s(s.length / 2)
+    }
+    def toMeasured: Measured = Measured(medianSec, ok, rows)
+  }
+
   /** Run `fn`'s plan through a noop write `reps` times; return the
     * median seconds and whether every rep succeeded. A failed rep
     * reports its message on stderr — its (near-instant) duration would
@@ -43,7 +53,14 @@ object Timing {
     * flag, so the (tiny) metric overhead cancels. */
   def medianNoopWrite(name: String, fn: (SparkSession, String) => DataFrame,
                       spark: SparkSession, dir: String,
-                      reps: Int, observeRows: Boolean = false): Measured = {
+                      reps: Int, observeRows: Boolean = false): Measured =
+    sampleNoopWrite(name, fn, spark, dir, reps, observeRows).toMeasured
+
+  /** [[medianNoopWrite]]'s body, returning every rep's duration so a
+    * caller can pool further batches before taking the median. */
+  def sampleNoopWrite(name: String, fn: (SparkSession, String) => DataFrame,
+                      spark: SparkSession, dir: String,
+                      reps: Int, observeRows: Boolean = false): Sampled = {
     var failed = false
     var rows = -1L
     val times = (1 to reps).map { _ =>
@@ -62,10 +79,10 @@ object Timing {
           System.err.println(s"$name FAILED: ${String.valueOf(e.getMessage).take(200)}")
       }
       (System.nanoTime() - t0) / 1e9
-    }.sorted
+    }
     // rows only from a fully successful run: a failed rep would leave
     // the previous rep's count (stale) or no count at all — consumers
     // must never see a partially-observed cardinality (r12 ADVICE)
-    Measured(times(times.length / 2), !failed, if (failed) -1L else rows)
+    Sampled(times, !failed, if (failed) -1L else rows)
   }
 }

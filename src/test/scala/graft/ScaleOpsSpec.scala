@@ -654,6 +654,95 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("stale stats: engine-visible growth after ANALYZE still dispatches safe") {
+    import graft.operators.Profile
+    // The staleness story the dispatchers rest on (r16 verdict item 5).
+    // Tables.ensureStats ANALYZEs once per session; between ANALYZE
+    // runs the stats go stale as data lands. Two growth shapes:
+    //
+    // 1. ENGINE-VISIBLE growth (INSERT INTO through the catalog):
+    //    Spark invalidates the table's catalog stats on data-changing
+    //    commands (CommandUtils.updateTableStats with size-autoUpdate
+    //    off drops them), so rowCount disappears and useApprox falls
+    //    back to the probe — which measures the REAL max group and
+    //    lands on the safe (sketch) arm. Stale stats cannot pick the
+    //    fragile exact arm after an in-band append.
+    // 2. OUT-OF-BAND growth (files dropped into the directory behind
+    //    the catalog's back): the catalog never hears about it, stats
+    //    stay stale-small, and the dispatch KEEPS the exact arm — the
+    //    documented unsupported shape. The deployment contract
+    //    (COVERAGE §2.4) is that ingest either goes through the engine
+    //    or is followed by re-ANALYZE; the 2× histSafetyMargin guards
+    //    estimate error, not an unbounded staleness window.
+    spark.sql("DROP TABLE IF EXISTS stale_t")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    wipe(new java.io.File(wh, "stale_t"))
+    spark.range(1000).selectExpr("id % 5 AS k", "id AS v")
+      .write.mode("overwrite").saveAsTable("stale_t")
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("ANALYZE TABLE stale_t COMPUTE STATISTICS FOR COLUMNS k, v")
+      def jobs(): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val before = jobs()
+      // fresh stats: 1000 rows ≤ bound → exact arm, zero jobs
+      assert(!Profile.useApprox(spark.table("stale_t"), Seq("k"), 10000L))
+      assert(jobs() === before, "fresh-stats dispatch must be zero-job")
+      // grow 50×, hot group: 50k extra rows all in k=0
+      spark.sql("INSERT INTO stale_t SELECT 0 AS k, id AS v FROM range(50000)")
+      val grown = spark.table("stale_t")
+      // premise check: the insert really did invalidate the stats —
+      // if a Spark upgrade changes this, the safety story changes too
+      assert(grown.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+        "INSERT INTO no longer invalidates catalog stats: re-audit useApprox staleness")
+      // no stats → probe path measures the real 50k-row hot group
+      assert(Profile.useApprox(grown, Seq("k"), 10000L),
+        "post-insert dispatch must land on the safe sketch arm")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevC)
+  }
+
+  test("stale stats: out-of-band growth is invisible — the documented re-ANALYZE contract") {
+    import graft.operators.Profile
+    spark.sql("DROP TABLE IF EXISTS stale_oob")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(wipe)); f.delete(); ()
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    wipe(new java.io.File(wh, "stale_oob"))
+    spark.range(1000).selectExpr("id % 5 AS k", "id AS v")
+      .write.mode("overwrite").saveAsTable("stale_oob")
+    val prevC = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("ANALYZE TABLE stale_oob COMPUTE STATISTICS FOR COLUMNS k, v")
+      // drop 50k hot-group rows into the table directory BEHIND the
+      // catalog (what a foreign writer does), then refresh the file
+      // listing so the scan sees them — the catalog stats do NOT
+      spark.range(50000).selectExpr("CAST(0 AS BIGINT) AS k", "id AS v")
+        .write.mode("append").parquet(s"$wh/stale_oob")
+      spark.catalog.refreshTable("stale_oob")
+      val grown = spark.table("stale_oob")
+      assert(grown.count() === 51000L)
+      // the dispatch still believes the stale 1000-row stats and keeps
+      // the exact arm: THIS assert documents the hazard the deployment
+      // contract exists for (out-of-band ingest must re-ANALYZE). If
+      // it ever starts failing, Spark began auto-detecting growth and
+      // the COVERAGE note should be revisited.
+      assert(grown.queryExecution.optimizedPlan.stats.rowCount
+        .contains(BigInt(1000)), "expected stale catalog rowCount")
+      assert(!Profile.useApprox(grown, Seq("k"), 10000L),
+        "stale stats are expected to (wrongly) keep the exact arm here")
+      // re-ANALYZE — the contract's cadence step — repairs the dispatch
+      spark.sql("ANALYZE TABLE stale_oob COMPUTE STATISTICS FOR COLUMNS k, v")
+      assert(Profile.useApprox(spark.table("stale_oob"), Seq("k"), 10000L),
+        "re-ANALYZE must restore the safe dispatch")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevC)
+  }
+
   test("TopKSketch (Space-Saving): exact when capacity covers, bounded and merge-safe when not") {
     import spark.implicits._
     import graft.functions.TopKSketch

@@ -70,6 +70,23 @@ def spread_summary(spread):
             "p90_rel_spread": round(p90, 3)}
 
 
+def top_spread(med, spread, n=12):
+    """Per-query spread for the noisiest queries (r16 verdict item 3:
+    the summary alone can hide a real regression inside the noise band
+    — name the queries that carry it, with their medians for scale)."""
+    worst = sorted(spread, key=lambda q: -spread[q])[:n]
+    return [{"query": q, "rel_spread": round(spread[q], 3),
+             "median_sec": round(med[q], 3)} for q in worst]
+
+
+def min_aliases(entries):
+    """Merged-min-mode entries keep the pre-r16 key names alongside the
+    unified ones so round-over-round artifacts stay schema-comparable
+    (r16 ADVICE: consumers keyed on prev_min_sec broke silently)."""
+    return [dict(e, prev_min_sec=e["prev_sec"], curr_min_sec=e["curr_sec"])
+            for e in entries]
+
+
 def classify(prev_q, curr_q, threshold, floor):
     shared = sorted(set(prev_q) & set(curr_q))
     regressed, floor_noise, improved = [], [], []
@@ -121,6 +138,12 @@ def main():
         c_med, c_spread = side_stats(curr_runs)
         shared, regressed, floor_noise, improved = classify(
             p_med, c_med, args.threshold, args.floor)
+        # each classified entry carries both sides' spread so a reader
+        # can tell a real shift from two noisy medians at a glance
+        for lst in (regressed, floor_noise, improved):
+            for e in lst:
+                e["prev_rel_spread"] = round(p_spread.get(e["query"], 0.0), 3)
+                e["curr_rel_spread"] = round(c_spread.get(e["query"], 0.0), 3)
         interleaved = {
             "prev_runs": prev_paths,
             "curr_runs": curr_paths,
@@ -130,7 +153,9 @@ def main():
             "prev_median_total": round(sum(p_med[q] for q in shared), 1),
             "curr_median_total": round(sum(c_med[q] for q in shared), 1),
             "variance": {"prev": spread_summary(p_spread),
-                         "curr": spread_summary(c_spread)},
+                         "curr": spread_summary(c_spread),
+                         "top_spread_prev": top_spread(p_med, p_spread),
+                         "top_spread_curr": top_spread(c_med, c_spread)},
             "regressed": regressed,
             "floor_noise": floor_noise,
             "improved_2x": improved,
@@ -141,6 +166,8 @@ def main():
     # available (they carry the noise-robust signal), else from mins
     shared, m_regressed, m_floor, m_improved = classify(
         prev["queries"], curr["queries"], args.threshold, args.floor)
+    m_regressed, m_floor, m_improved = (
+        min_aliases(m_regressed), min_aliases(m_floor), min_aliases(m_improved))
     report = {
         "prev": {"file": args.prev, "head_sha": prev.get("head_sha"),
                  "fresh_total": prev.get("fresh_total"),
