@@ -774,12 +774,20 @@ object SparkEntry {
 
     // F-suite: JSON path extraction — the real props payload plus a
     // constructed nested document, extracted with get_json_object
-    // (codegen'd Jackson walk; no UDF)
+    // (codegen'd Jackson walk; no UDF). The Jackson walks are ~all of
+    // this query's cost and the events table arrives as ONE parquet
+    // split, so without a redistribution the whole parse ran inside a
+    // single scan task while the other 31 cores idled (r17 profile:
+    // 4.4 s of task time in 4 tasks). Tables.spread redistributes the
+    // cheap projected rows FIRST (guide §2: spread compute-bound
+    // stragglers) and is a no-op once the source arrives wide.
     "q_f_json" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(col("event_id"), col("props"),
-          concat(lit("{\"u\":"), col("user_id"),
-            lit(",\"m\":{\"t\":\""), col("event_type"), lit("\"}}")).as("js"))
+      Tables.spread(
+        t(s, dir, "events")
+          .select(col("event_id"), col("props"),
+            concat(lit("{\"u\":"), col("user_id"),
+              lit(",\"m\":{\"t\":\""), col("event_type"), lit("\"}}")).as("js")),
+        col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           get_json_object(col("js"), "$.m.t").as("jtype"),
@@ -1255,14 +1263,24 @@ object SparkEntry {
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
         .join(rsup, col("l_suppkey") === col("s_suppkey"))
-      val minCost = supply.groupBy(col("l_partkey").as("mk"))
-        .agg(min(col("cost")).as("min_cost"))
+      // r17: the min-cost-per-part used to be a SECOND full pass over
+      // `supply` (its own lineitem aggregation + shuffle) self-joined
+      // back — the plan computed the whole supply subtree twice
+      // (column pruning differs per consumer, so exchange reuse never
+      // fired). A min window over the PART-FILTERED slice is
+      // row-identical (the part join keeps or drops whole partkeys, so
+      // per-partkey mins are untouched) and both halves the lineitem
+      // work and shrinks the min computation to the selective-part
+      // slice — at 100 TB the difference between re-aggregating the
+      // fact table and windowing the filtered result (guide §2.2).
       supply
         .join(t(s, dir, "part")
           .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
           .select("p_partkey", "p_name"),
           col("l_partkey") === col("p_partkey"))
-        .join(minCost, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .withColumn("min_cost",
+          min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
           col("p_name"), round(col("cost"), 6).as("cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -2067,7 +2085,8 @@ object SparkEntry {
     // rare tail cut at minCount. Rank key is the ROUNDED pmi + bigram
     // so the top-k membership is engine-reproducible.
     "q_text_pmi" -> ((s, dir) => {
-      Text.collocations(t(s, dir, "documents"), "text",
+      Text.collocations(
+        Tables.spread(t(s, dir, "documents"), col("doc_id")), "text",
         minCount = 5, topK = 20)
     }),
 
@@ -2112,7 +2131,8 @@ object SparkEntry {
     // Text 3: language-ID by char-n-gram profile argmax (full oracle: the
     // scoring is shared with the SQL via Text.defaultProfiles)
     "q_text_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
         Text.langId(col("text")).as("predicted"))
         .orderBy("doc_id")
     }),

@@ -20,6 +20,34 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `df` redistributed to the session's shuffle parallelism — but ONLY
+    * when its plan arrives narrower (r17, guide §2.4 stragglers).
+    *
+    * The driver testdata ships every table as ONE parquet row group, so
+    * every scan is one split and whatever work Spark fuses into the
+    * scan stage — partial aggregation (percentile/KLL buffers), per-row
+    * text/JSON compute — runs on ONE core while the rest idle; the
+    * r17 profile measured up to 4.4 s of single-task compute under
+    * 32-core wall times. A production 100 TB table arrives in
+    * thousands of splits, where this helper is a NO-OP: the guard
+    * compares the plan's actual partition count against the configured
+    * parallelism and only pays the redistribution when the source
+    * under-partitions the session. An UNCONDITIONAL repartition here
+    * would be the local-only anti-pattern — a corpus-wide shuffle
+    * added at exactly the scale where the scan is already wide.
+    *
+    * `by` keys make the placement deterministic under task retry
+    * (hash partitioning; round-robin `repartition(n)` re-deals rows
+    * differently on retry, which non-deterministic downstream sampling
+    * must never see). Width comes from `spark.sql.shuffle.partitions`
+    * (explicit, so AQE doesn't re-coalesce the spread away), never a
+    * local constant. */
+  def spread(df: DataFrame, by: Column*): DataFrame = {
+    require(by.nonEmpty, "spread needs at least one hash key")
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < width) df.repartition(width, by: _*) else df
+  }
+
   /** Register every table as a temp view so `spark.sql` works against
     * the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -381,9 +381,14 @@ object Text {
     * partition-local), so the only exchange carries one row per doc. */
   def lmScore(ref: DataFrame, docs: DataFrame,
               idCol: String, textCol: String): DataFrame = {
+    // the bigram table feeds TWO consumers (the broadcast model join
+    // and the context marginal below) — checkpoint once, lazily, so
+    // the reference explode+count runs one time per execution instead
+    // of once per consumer (r17; same shape as [[collocations]])
     val refBg = ref
       .select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint(eager = false)
     // context marginal derived from the bigram table itself (NOT raw
     // token counts: each doc's last token opens no bigram position)
     val refCtx = refBg

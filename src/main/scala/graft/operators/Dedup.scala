@@ -226,14 +226,30 @@ object Dedup {
     * fan-out and carry no discriminative signal. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            w: Int, maxBucket: Int): DataFrame = {
+    // Materialize the explode ONCE, lazily (r17 — the same
+    // multi-consumer recompute class the r16 PMI fix closed):
+    // [[ngramJaccardPairs]]/[[ngramContainmentPairs]] consume this
+    // index FOUR times (hot-shingle count, per-doc sizes, both
+    // self-join sides), and without a checkpoint every consumer re-ran
+    // the corpus scan + shingle split + array_distinct + explode —
+    // measured at ~4× the whole pair-finding cost on q_dedup_cluster.
+    // Lazy (r16 rule): constructing the DataFrame must stay
+    // side-effect free; the first action materializes it. The capped
+    // index is checkpointed too, so the broadcast anti-join replays on
+    // checkpoint blocks, not on the text pipeline. Tradeoff as in
+    // Text.collocations: lineage truncates to executor-local blocks
+    // (index-sized, ∝ distinct shingles — the thing this operator
+    // already bounds via maxBucket fan-out capping).
     val idx = docs
       .select(col(idCol).as("doc"), explode(array_distinct(Text.shingles(col(textCol), w))).as("sh"))
+      .localCheckpoint(eager = false)
     if (maxBucket <= 0) idx
     else {
       val hot = idx.groupBy("sh").count().filter(col("count") > maxBucket).select("sh")
       // a USING join outputs the join key FIRST (even for left_anti), so
       // re-pin the (doc, sh) order — callers rename positionally
       idx.join(broadcast(hot), Seq("sh"), "left_anti").select("doc", "sh")
+        .localCheckpoint(eager = false)
     }
   }
 

@@ -285,7 +285,17 @@ object Profile {
                          groupCols: Seq[String]): DataFrame = {
     val renamed = groupCols.foldLeft(bounds)((b, c) => b.withColumnRenamed(c, "_g_" + c))
     val cond = groupCols.map(c => col(c) <=> col("_g_" + c)).reduce(_ && _)
-    df.join(renamed, cond).drop(groupCols.map("_g_" + _): _*)
+    // The bounds side is ONE ROW PER GROUP by construction — always the
+    // broadcast side, explicitly (r17, guide §3.1): left to size
+    // estimates, the optimizer broadcast the CORPUS whenever the input
+    // scan undercut the 10 MB threshold (BuildLeft of the side that is
+    // 100 TB in production — a corpus-sized HashedRelation build), and
+    // where neither side fit it planned a SortMergeJoin whose corpus
+    // shuffle AQE could only convert AFTER the shuffle-write had
+    // happened. The hint pins build side AND strategy at first
+    // planning, so the corpus streams map-side through every bounds
+    // join regardless of what the size estimator thinks.
+    df.join(broadcast(renamed), cond).drop(groupCols.map("_g_" + _): _*)
   }
 
   /** Per-group feature scaling: adds `<valueCol>_z` (z-score against
