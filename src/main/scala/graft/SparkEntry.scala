@@ -1687,8 +1687,14 @@ object SparkEntry {
     // content; report the overlap count per training doc
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // r17: spread ONLY the corpus (streamed) side — its shingle
+      // explode is the single-task cost; the benchmark side must stay
+      // un-spread so its broadcast build isn't gated behind a shuffle
+      // (spreading both sides measured +217% on one noisy run, and the
+      // broadcast-side serialization was the real component of it)
       Dedup.benchmarkOverlap(
-        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        Tables.spread(docs.filter(col("doc_id") >= 400), col("doc_id")),
+        "doc_id", "text",
         docs.filter(col("doc_id") < 400), "text", w = 8)
         .orderBy("doc_id")
     }),
@@ -2098,8 +2104,12 @@ object SparkEntry {
     // accumulation-order rounding recipe (same class as q_text_tfidf).
     "q_lm_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // r17: spread ONLY the scored (streamed) side — the reference
+      // side builds broadcast LM tables and must not sit behind a
+      // shuffle (see q_decontaminate note)
       Text.lmScore(docs.filter(col("doc_id") < 200),
-        docs.filter(col("doc_id") >= 200), "doc_id", "text")
+        Tables.spread(docs.filter(col("doc_id") >= 200), col("doc_id")),
+        "doc_id", "text")
         .orderBy("doc_id")
     }),
 
