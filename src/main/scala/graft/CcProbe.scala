@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch diagnostic (r17, not committed): per-phase timing of the
-  * connectedComponents loop on the q_dedup_cluster input. */
+/** Per-phase timing of the connectedComponents loop on the
+  * q_dedup_cluster input — the r17 measurement that attributed the
+  * CC-family cost to the upstream pair-plan recompute (1.37 s of a
+  * 2.2 s query) rather than the loop itself (~0.3 s, one propagation
+  * round on these graphs), which motivated the shingleIndex
+  * checkpoint. Diagnostic main in the [[DppSplit]]/[[MinhashSplit]]
+  * family; never a round artifact. */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
