@@ -1649,9 +1649,10 @@ object SparkEntry {
       // in production the ledger IS a persisted parquet table; the
       // in-line rebuild here is checkpointed so the two ledger
       // consumers (banding, history scoring) read it, not re-derive it
+      // (lazy, r18: eager ran a construction-time job per execution)
       val ledger = Dedup.minhashLedgerOf(
         docs.filter(col("doc_id") < 250), "doc_id", "text", w = 3)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       Dedup.applyMinhashIncremental(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 500), "doc_id", "text",
         ledger, w = 3, numHashes = 16, bands = 8, threshold = 0.05)

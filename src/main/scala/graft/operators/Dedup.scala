@@ -520,8 +520,11 @@ object Dedup {
     // per new doc), never history-sized, so executor-local storage is
     // bounded by the ingestion batch; without this each consumer
     // re-runs the shingle→fingerprint→16-way-min pipeline.
+    // lazy (r18): an EAGER checkpoint here ran its own job at plan
+    // construction on every execution; lazy materializes once inside
+    // the first consumer's job and the other three replay blocks
     val newSigs = minhashLedgerOf(newDocs, idCol, textCol, w, numHashes)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val candHist = bandCandidates(newSigs, ledger, numHashes, bands)
     val dupVsHistory = estimateScored(candHist, newSigs, ledger, numHashes)
       .filter(col("jaccard") >= threshold)
@@ -553,14 +556,144 @@ object Dedup {
   /** Connected components over a near-dup pair list — turns pairwise
     * matches into dedup clusters (every doc labeled with the min doc id
     * reachable through match edges, transitively). Iterative
-    * smallest-label propagation: each round every node adopts the min
-    * label in its neighborhood; converges in O(component diameter)
-    * rounds (near-dup clusters are shallow — a handful of rounds).
-    * Each round is one shuffle; no driver-side graph. Throws if labels
-    * have not converged after `maxIter` rounds — a silently-truncated
-    * propagation would return wrong (split) clusters. */
+    * smallest-label propagation with pointer doubling: each round every
+    * node adopts the min label in its neighborhood; converges in
+    * O(log component diameter) rounds. Each round is one shuffle; no
+    * driver-side graph. Throws if labels have not converged after
+    * `maxIter` rounds — a silently-truncated propagation would return
+    * wrong (split) clusters.
+    *
+    * Integral ids take the RDD-level loop ([[ccLongRdd]], r18): the
+    * former per-round DataFrame materialization paid Catalyst
+    * analysis/optimization plus an eager-localCheckpoint job storm on
+    * EVERY round of EVERY execution (q_dedup_semantic_apply: 59 jobs,
+    * ~40% of its wall). The RDD loop plans nothing per round, keeps
+    * every label/edge RDD hash-partitioned by node so all per-round
+    * joins are narrow, and runs one job per round (the convergence
+    * count). Non-integral ids (string keys) keep the plan-level loop,
+    * which has no dtype constraints. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dtA = pairs.schema(aCol).dataType
+    val dtB = pairs.schema(bCol).dataType
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    if (integral.contains(dtA) && dtA == dtB) ccLongRdd(pairs, aCol, bCol, maxIter, dtA)
+    else ccPlanLoop(pairs, aCol, bCol, maxIter)
+  }
+
+  /** RDD arm of [[connectedComponents]] for integral ids (every dedup
+    * id in this library): identical smallest-label-propagation +
+    * pointer-doubling semantics and identical output (node, cluster)
+    * in the input id dtype, but the loop iterates over
+    * hash-partitioned `RDD[(Long, Long)]`s — zero Catalyst work per
+    * round, one convergence-count job per round, narrow joins
+    * throughout (edges and labels share one HashPartitioner), and each
+    * round's blocks are unpersisted as soon as the next round lands
+    * (the plan-level loop's checkpoint blocks lingered until context
+    * GC — r17's block-manager-pressure suspect). Null ids cannot match
+    * any join key and are dropped, as the join-based loop effectively
+    * does. */
+  private def ccLongRdd(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int,
+                        idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sess = pairs.sparkSession
+    // one pass over the (possibly expensive) pair plan; symmetrize in
+    // the same pass, dedup once, then right-size round parallelism to
+    // the edge count exactly like the plan loop did: label propagation
+    // is latency-bound on small cluster graphs and shuffle-bound on
+    // large ones; partitions ∝ edges serves both regimes
+    val raw: RDD[(Long, Long)] = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .na.drop()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val maxPar = sess.sessionState.conf.numShufflePartitions
+    val staged = raw.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .distinct(maxPar).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = staged.count()
+    val p = math.max(1L, math.min(maxPar.toLong, nEdges / 20000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    // edges keyed (node -> neighbor); every RDD below shares `part`
+    val edges = staged.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 folds into initialization: every node starts at
+    // min(own id, min neighbor id) — the symmetrized edge list carries
+    // every node as a key, so no node is lost
+    var labels: RDD[(Long, Long)] = edges.reduceByKey(part, math.min(_: Long, _: Long))
+      .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
+        preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing: RDD[_] = labels // the persisted RDD behind `labels`
+    var converged = false
+    var i = 1
+    while (!converged && i < maxIter) {
+      // min incoming neighbor label — the round's one shuffle
+      val incoming = edges.join(labels, part)
+        .map { case (_, (nbr, lab)) => (nbr, lab) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // merge with own label; the pre-round label rides along so the
+      // convergence probe needs no second pass
+      val cand = labels.leftOuterJoin(incoming, part)
+        .mapPartitions(_.map { case (n, (old, inc)) =>
+          (n, (inc.fold(old)(math.min(old, _)), old))
+        }, preservesPartitioning = true)
+      // pointer doubling (path shortcutting): label := label(label),
+      // looked up in the PREVIOUS round's labels — the label chain
+      // collapses geometrically, so convergence is O(log diameter)
+      // rounds (ScaleOpsSpec measures a 10k path graph). Engaged only
+      // from round 3: near-dup cluster graphs converge in 2-3 plain
+      // rounds, where the extra per-round join would be pure overhead.
+      // Labels are always node ids of the same component, so min-label
+      // semantics and the final fixed point are unchanged.
+      val jumped = if (i <= 2) cand else {
+        cand.map { case (n, (lab, old)) => (lab, (n, old)) }
+          .leftOuterJoin(labels, part)
+          .map { case (lab, ((n, old), ll)) => (n, (ll.getOrElse(lab), old)) }
+          .partitionBy(part)
+      }
+      val updated = jumped.persist(StorageLevel.MEMORY_AND_DISK)
+      // the one action per round: materializes the round AND counts
+      // label movement in the same pass
+      val changed = updated.filter { case (_, (lab, old)) => lab < old }.count()
+      backing.unpersist(blocking = false)
+      backing = updated
+      labels = updated.mapPartitions(_.map { case (n, (lab, _)) => (n, lab) },
+        preservesPartitioning = true)
+      converged = changed == 0
+      i += 1
+    }
+    // the loop's working sets are dead once labels have converged; the
+    // final round's blocks stay persisted for the consumer and are
+    // released by the ContextCleaner when the result goes out of scope
+    staged.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    if (!converged) {
+      backing.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(component min-label diameter exceeds maxIter); raise maxIter")
+    }
+    val out = sess.createDataFrame(
+      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
+      // nullable like the plan loop's aggregate output, so the Verify
+      // parquet dump keeps the same optional-field schema it always had
+      StructType(Seq(StructField("node", LongType, nullable = true),
+        StructField("cluster", LongType, nullable = true))))
+    if (idType == LongType) out
+    else out.select(col("node").cast(idType).as("node"),
+      col("cluster").cast(idType).as("cluster"))
+  }
+
+  /** Plan-level arm of [[connectedComponents]] (non-integral ids):
+    * the pre-r18 DataFrame loop — one eager localCheckpoint per round,
+    * Catalyst planning per round. Kept because it has no id-dtype
+    * constraints; every id in this library is integral, so the hot
+    * paths never come here. */
+  private def ccPlanLoop(pairs: DataFrame, aCol: String, bCol: String,
+                         maxIter: Int): DataFrame = {
     // symmetrize via explode, not union: a union's two branches would
     // each re-evaluate the (possibly expensive) upstream pair plan
     val edges0 = pairs.select(explode(array(

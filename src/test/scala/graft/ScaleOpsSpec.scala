@@ -21,6 +21,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("connectedComponents RDD arm: int ids keep their dtype and match the plan-loop labels") {
+    // r18: integral ids take the RDD-level loop; the output must stay
+    // in the INPUT id dtype (the oracle dump compares schemas) and the
+    // labels must equal the plan-level loop's on the same graph
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+      .select(col("doc_a").cast("int").as("doc_a"),
+        col("doc_b").cast("int").as("doc_b"))
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    assert(got.schema("node").dataType === IntegerType)
+    assert(got.schema("cluster").dataType === IntegerType)
+    val labels = got.as[(Int, Int)].collect().toSet
+    assert(labels === Set((1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (7, 7)))
+  }
+
+  test("connectedComponents falls back to the plan loop on string ids") {
+    import graft.operators.Dedup
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")))
+  }
+
+  test("connectedComponents RDD arm labels a deep chain needing pointer doubling") {
+    // 200-node path: plain propagation needs 200 rounds; the doubling
+    // jump must engage (round 3+) for this to converge under maxIter
+    import graft.operators.Dedup
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+    assert(labels.filter(col("cluster") =!= 0L).count() === 0)
+    assert(labels.count() === 201)
+  }
+
   test("connectedComponents converges on a 10k-node path graph within default maxIter") {
     // the diameter-safe guarantee: pointer doubling makes rounds
     // O(log diameter), so a 10_000-edge chain — the pathological
