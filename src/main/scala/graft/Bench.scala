@@ -66,10 +66,20 @@ object Bench {
     // window, and the ~5 KB per-query line flooded it every round
     // (r9-r11: BENCH parsed:null). The sidecar is the durable artifact.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"bench artifact write to $out failed: ${e.getMessage}") }
+    def writeJson(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"bench artifact write to $path failed: ${e.getMessage}") }
+    writeJson(out)
+    // Second, STABLE copy at a committed repo path (r17 VERDICT item 3:
+    // PERF per_query was empty two rounds running because the per-query
+    // map lives only in /tmp and stdout carries just the total). A
+    // driver that runs the bench from the repo root leaves its own
+    // per-query measurements HERE, where round tooling can read them;
+    // full runs only, so a subset run can never shadow the round map.
+    if (onlyField.isEmpty)
+      writeJson(sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "BENCH_SIDE.json"))
     // Stdout carries ONE compact JSON line (totals + sidecar path): short
     // enough that no tail window truncates it, bare at column 0 (build.sbt
     // sets run/outputStrategy=StdoutOutput so sbt adds no "[info] "

@@ -266,7 +266,7 @@ object SparkEntry {
       val scored = Sampling.dsirWeights(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", buckets = 4096)
         .select(col("doc_id"), col("n_tok"), round(col("w"), 6).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       scored.crossJoin(scored.agg(expr("percentile(w, 0.5)").as("_med")))
         .select(col("doc_id"), col("n_tok"), col("w"),
           (col("w") > col("_med")).as("kept"))
@@ -289,7 +289,7 @@ object SparkEntry {
       val scored = Sampling.dsirWeights(docs, "doc_id", "text",
           docs.filter(col("source") === "src0"), "text", buckets = 4096)
         .select(col("doc_id"), round(col("w"), 6).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val thr = scored.agg(
         expr("approx_percentile(w, 0.5, 10000)").as("_amed"),
         expr("percentile(w, array(0.49, 0.51))").as("eb"))
