@@ -980,6 +980,13 @@ object SparkEntry {
     // Bucketed-layout aggregation on the cluster key: groupBy
     // l_orderkey over the bucketed table runs scan-local, no shuffle
     "q_bucket_rollup" -> ((s, dir) =>
+      // NOTE (r18): an A/B'd lazy checkpoint before the sort (to spare
+      // the range-bounds sampling pass its re-execution of the rollup)
+      // measured WORSE at x10 (block-manager pressure on 1.47 M rows
+      // dwarfed the 0.4 s rollup re-run) and was reverted; the real x10
+      // cost was the bypass-merge shuffle writer's R-files-per-map-task
+      // fan-out on the wide range exchange — fixed session-wide in
+      // [[GraftSession.configure]] (bypassMergeThreshold)
       Bucketing.bucketedOrderRollup(s, dir)
         .withColumn("last_ship", to_date(col("last_ship")))
         .orderBy("l_orderkey")),
